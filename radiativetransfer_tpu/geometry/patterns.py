@@ -32,6 +32,13 @@ SEG_NONE = 0
 SEG_XZ = 1   # shifts along axis 1 (j)
 SEG_YZ = 2   # shifts along axis 2 (k)
 
+# face-exit tags, matching the reference constants xyEnd=1, yzEnd=2, xzEnd=3
+# (definitionsModule.f90:159)
+TAG_NONE = 0
+TAG_XY = 1
+TAG_YZ = 2
+TAG_XZ = 3
+
 
 @dataclasses.dataclass(frozen=True)
 class SlabTemplate:
@@ -46,6 +53,11 @@ class SlabTemplate:
     n_active: int       # 1..3
     next_x0: float      # entry footpoint of the next slab's xy segment
     next_y0: float
+    # which segment exits through each face (patternType %xyTop/%xzTop/%yzTop,
+    # definitionsModule.f90:148-150): TAG_XY/TAG_YZ/TAG_XZ or TAG_NONE
+    top_xy: int = TAG_NONE
+    top_xz: int = TAG_NONE
+    top_yz: int = TAG_NONE
 
 
 def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
@@ -65,7 +77,7 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
         nxt_x0 = x0 + cos_p / np.tan(theta)
         nxt_y0 = y0 + sin_p / np.tan(theta)
         return SlabTemplate(x0, y0, len_xy, 0.0, 0.0, SEG_NONE, SEG_NONE, 1,
-                            nxt_x0, nxt_y0)
+                            nxt_x0, nxt_y0, TAG_XY, TAG_NONE, TAG_NONE)
 
     if tmp2 < min(tmp1, tmp3):
         # xy exits the x=1 face -> chain continues as a yz segment
@@ -80,7 +92,7 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
             nxt_x0 = len_yz * cos_t * cos_p
             nxt_y0 = yz_y0 + len_yz * cos_t * sin_p
             return SlabTemplate(x0, y0, len_xy, 0.0, len_yz, SEG_YZ, SEG_NONE,
-                                2, nxt_x0, nxt_y0)
+                                2, nxt_x0, nxt_y0, TAG_YZ, TAG_NONE, TAG_XY)
         len_yz = tmpa2
         xz_x0 = (1.0 - yz_y0) / np.tan(phi)
         xz_z0 = yz_z0 + tmpa2 * sin_t
@@ -89,7 +101,7 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
         nxt_x0 = xz_x0 + len_xz * cos_t * cos_p
         nxt_y0 = len_xz * cos_t * sin_p
         return SlabTemplate(x0, y0, len_xy, len_xz, len_yz, SEG_YZ, SEG_XZ, 3,
-                            nxt_x0, nxt_y0)
+                            nxt_x0, nxt_y0, TAG_XZ, TAG_YZ, TAG_XY)
 
     # xy exits the y=1 face -> chain continues as an xz segment
     len_xy = tmp3
@@ -103,7 +115,7 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
         nxt_x0 = xz_x0 + len_xz * cos_t * cos_p
         nxt_y0 = len_xz * cos_t * sin_p
         return SlabTemplate(x0, y0, len_xy, len_xz, 0.0, SEG_XZ, SEG_NONE, 2,
-                            nxt_x0, nxt_y0)
+                            nxt_x0, nxt_y0, TAG_XZ, TAG_XY, TAG_NONE)
     len_xz = tmpb2
     yz_y0 = (1.0 - xz_x0) * np.tan(phi)
     yz_z0 = xz_z0 + len_xz * sin_t
@@ -112,7 +124,7 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
     nxt_x0 = len_yz * cos_t * cos_p
     nxt_y0 = yz_y0 + len_yz * cos_t * sin_p
     return SlabTemplate(x0, y0, len_xy, len_xz, len_yz, SEG_XZ, SEG_YZ, 3,
-                        nxt_x0, nxt_y0)
+                        nxt_x0, nxt_y0, TAG_YZ, TAG_XY, TAG_XZ)
 
 
 @dataclasses.dataclass(frozen=True)
