@@ -33,9 +33,59 @@ from ..constants import (
     NU3,
     PSI,
 )
-from ..tables import chemistry_rates, spectral, uvb_models
-from . import chemistry, opacity, sweep
+from ..tables import chemistry_rates, spectral, stellar as stellar_tables, uvb_models
+from . import chemistry, opacity, rays, sweep
 from .state import FieldState, GridGeometry
+
+
+@dataclasses.dataclass
+class StellarContext:
+    """Point-source transfer inputs for one iteration.
+
+    The reference rebuilds the 11^4 attenuation tables per source
+    (equiSources.f90:1298); here sources sharing an (age, metallicity)
+    bucket share a table (SURVEY.md §3.3) and the tables are stacked on a
+    leading bucket axis for per-ray gathering.
+    """
+    population: "stellar_tables.StellarPopulation"
+    sources: rays.SourceBatch
+    tables: dict                 # reaction_log/energy_log (B,3,11^4) + output_*
+    n_stars_specific_age: int
+    dust_approximation: int = 0
+    max_pixel_level: int = 6
+
+    @classmethod
+    def build(cls, population, sources: rays.SourceBatch,
+              age_s: float, metal_coefs: list[tuple[int, float]],
+              n_stars_specific_age: int | None = None,
+              dust_approximation: int = 0, max_pixel_level: int = 6,
+              dust=None) -> "StellarContext":
+        """Build stacked tables for the metallicity buckets at a fixed age
+        slice (the reference uses timeReadTable = 10 Myr,
+        equiSources.f90:1236)."""
+        i_spec, coef_spec = population.age_bracket(age_s)
+        reaction, energy = [], []
+        out = None
+        for i_metal, coef_metal in metal_coefs:
+            t = stellar_tables.build_source_tables(
+                population, i_spec, coef_spec, i_metal, coef_metal, dust=dust)
+            reaction.append(t.reaction_log)
+            energy.append(t.energy_log)
+            out = t
+        tables = {
+            "reaction_log": jnp.asarray(np.stack(reaction)),
+            "energy_log": jnp.asarray(np.stack(energy)),
+            "output_freq": jnp.asarray(out.output_freq),
+            "output_sigma24": jnp.asarray(out.output_sigma24),
+            "output_sigma25": jnp.asarray(out.output_sigma25),
+            "output_sigma26": jnp.asarray(out.output_sigma26),
+            "output_sigma_dust": jnp.asarray(out.output_sigma_dust),
+        }
+        return cls(population=population, sources=sources, tables=tables,
+                   n_stars_specific_age=(n_stars_specific_age
+                                         or int(sources.weight.sum())),
+                   dust_approximation=dust_approximation,
+                   max_pixel_level=max_pixel_level)
 
 
 @dataclasses.dataclass
@@ -147,12 +197,41 @@ class RTModel:
 
     # ----- the iteration -------------------------------------------------
 
-    def transport_chemistry_step(self, state: FieldState) -> FieldState:
+    def transport_chemistry_step(self, state: FieldState,
+                                 stellar: StellarContext | None = None
+                                 ) -> FieldState | tuple[FieldState, "rays.RayDiagnostics"]:
         """One full transport + chemistry iteration (pure function of state;
-        jit this or use make_step())."""
+        jit this or use make_step()).  With a StellarContext the point-source
+        phase runs first and RayDiagnostics are returned alongside the
+        state."""
         cfg = self.config
         state = state.zero_rates()
+        diag = None
 
+        if cfg.run_stellar_transfer and stellar is not None:
+            n = self.geom.nx
+            rf, diag = rays.trace_point_sources(
+                state, self.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.rho.dtype)
+            shape = state.shape
+            state = dataclasses.replace(
+                state,
+                krate24=rf.krate24.reshape(shape),
+                krate25=rf.krate25.reshape(shape),
+                krate26=rf.krate26.reshape(shape),
+                crate24=rf.crate24.reshape(shape),
+                crate25=rf.crate25.reshape(shape),
+                crate26=rf.crate26.reshape(shape))
+
+        state = self._sweep_and_chemistry(state)
+        if diag is not None:
+            return state, diag
+        return state
+
+    def _sweep_and_chemistry(self, state: FieldState) -> FieldState:
+        cfg = self.config
         if cfg.run_uvb_transfer:
             kappa = opacity.compute_opacities(state.HI, state.HeI, state.HeII,
                                               self.opacity_coef)
@@ -161,18 +240,40 @@ class RTModel:
                                         self.geom.cell_size)
             state = dataclasses.replace(state, Jmean=jmean)
 
-        state = chemistry.solve_rate_equations(
+        return chemistry.solve_rate_equations(
             state, self.geom, self.dev_tables,
             ksi_matrix=self.ksi_matrix,
             gamma_thin=self.gamma_thin,
             self_shielding_threshold=self.config.self_shielding_threshold,
             run_uvb_transfer=cfg.run_uvb_transfer,
             n_iter=110 if state.rho.dtype == jnp.float64 else 60)
-        return state
 
-    def make_step(self):
-        """jit-compiled iteration step."""
-        return jax.jit(self.transport_chemistry_step)
+    def make_step(self, stellar: StellarContext | None = None):
+        """jit-compiled iteration step.  The point-source tracer keeps its
+        own compilation cache; the sweep+chemistry body is jitted here."""
+        if stellar is None:
+            return jax.jit(self.transport_chemistry_step)
+        rest = jax.jit(self._sweep_and_chemistry)
+
+        def step(state: FieldState):
+            state = state.zero_rates()
+            rf, diag = rays.trace_point_sources(
+                state, self.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.rho.dtype)
+            shape = state.shape
+            state = dataclasses.replace(
+                state,
+                krate24=rf.krate24.reshape(shape),
+                krate25=rf.krate25.reshape(shape),
+                krate26=rf.krate26.reshape(shape),
+                crate24=rf.crate24.reshape(shape),
+                crate25=rf.crate25.reshape(shape),
+                crate26=rf.crate26.reshape(shape))
+            return rest(state), diag
+
+        return step
 
     def neutral_fraction(self, state: FieldState) -> float:
         """Global neutral-hydrogen mass fraction (computeMass,
