@@ -1,0 +1,72 @@
+"""Generate a small synthetic galaxy snapshot + source list for testing the
+CLI end-to-end (a stand-in for the reference's production inputs,
+inputParameters:3-4)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from radiativetransfer_tpu.io import grid_io
+
+
+def make_grid(n=24, box_kpc=300.0, seed=0, path="testgrid_velmet"):
+    rng = np.random.default_rng(seed)
+    # cell centers in a kpc frame
+    ax = (np.arange(n) + 0.5) / n * box_kpc - box_kpc / 2
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    pos = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1).astype(np.float32)
+    r = np.sqrt(x ** 2 + y ** 2 + z ** 2).ravel()
+    # centrally concentrated density + lognormal fluctuations
+    nh = 3e-3 * (1.0 + (r / (0.15 * box_kpc)) ** 2) ** -1
+    nh = nh * rng.lognormal(0.0, 0.4, nh.shape)
+    lT = np.full(nh.shape, 4.0, np.float32)
+    lnH = np.log10(nh).astype(np.float32)
+    lx = np.zeros(nh.shape, np.float32)         # fully neutral initially
+    vel = rng.normal(0, 30, (n ** 3, 3)).astype(np.float32)
+    abun = np.zeros((n ** 3, 4), np.float32)
+    abun[:, 1] = 0.004 * np.exp(-r / (0.3 * box_kpc))
+    levels = [grid_io.LevelData(pos=pos, lT=lT, lnH=lnH, lx=lx,
+                                vel=vel, abun=abun)]
+    grid_io.write_level_npz(path + ".npz", levels)
+    return levels, box_kpc
+
+
+def make_sources(levels, box_kpc, n_src=12, seed=1, path="testsources.dat"):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_src):
+        p = rng.normal(0, 0.08 * box_kpc, 3)
+        age = rng.uniform(1.0, 30.0)
+        rows.append(f"1 {p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {age:.3f}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+
+
+def make_input_parameters(path="inputParameters.test"):
+    with open(path, "w") as fh:
+        fh.write("""sphDir = './'
+synthesisDir = './'
+grid = 'testgrid_velmet'
+sources = 'testsources.dat'
+currentRedshift = 6.55
+mode = 8
+dustApproximation = 0
+selfShieldingThreshold = 0.1
+massStellarParticle = 1
+upperAgeLimit = 34.
+restart = 0
+restartCellArrayName = ''
+reionizationModel = 10
+""")
+
+
+if __name__ == "__main__":
+    levels, box = make_grid()
+    make_sources(levels, box)
+    make_input_parameters()
+    print("wrote testgrid_velmet.npz, testsources.dat, inputParameters.test")

@@ -1,0 +1,151 @@
+"""Command-line driver: the `program pointTransfer` analog.
+
+Run modes follow the reference (equiSources.f90:65-67, SURVEY.md C19/C21):
+  1  point-source transfer + optically-thin UVB
+  2  stellar/gas density PDFs (print and exit)
+  3  projected metallicity map (write and exit)
+  4  cell census (print and exit)
+  6  no sources, optically-thin UVB only
+  7  clumping factor (print and exit)
+  8  point-source + diffuse UVB transfer
+  9  diffuse UVB transfer only
+
+Usage:
+  python -m radiativetransfer_tpu.cli [inputParameters|config.json] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", nargs="?", default="inputParameters")
+    ap.add_argument("--iters", type=int, default=0,
+                    help="max iterations (0 = config / until converged)")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu / axon / tpu)")
+    ap.add_argument("--x64", action="store_true",
+                    help="run in float64 (parity mode)")
+    ap.add_argument("--snapshot-dir", default=".")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from .config import (MODE_CLUMPING_FACTOR, MODE_INITIAL_CONFIGURATION,
+                         MODE_PLOT_PDFS, MODE_PRINT_NUMBER_OF_CELLS,
+                         load_config)
+    from .core import chemistry, step as step_mod
+    from .core.state import GridGeometry
+    from .io import diagnostics, grid_io, snapshot, sources_io
+    from .tables import stellar as stellar_tables
+    from .constants import KPC, MYR
+
+    cfg = load_config(args.config)
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    print(f"mode = {cfg.mode}   grid = {cfg.grid}   z = {cfg.current_redshift}")
+
+    # ---- grid ingestion -------------------------------------------------
+    grid_path = os.path.join(cfg.sph_dir, cfg.grid)
+    if os.path.exists(grid_path + ".npz"):
+        levels = grid_io.read_level_npz(grid_path + ".npz")
+    elif os.path.exists(grid_path + ".dat"):
+        levels = grid_io.read_fortran_level_binary(
+            grid_path + ".dat", cfg.read_metals, cfg.read_kinematics)
+    else:
+        sys.exit(f"grid not found: {grid_path}(.npz|.dat)")
+
+    if cfg.mode == MODE_PRINT_NUMBER_OF_CELLS:
+        for i, lv in enumerate(levels):
+            print(f"level = {i + 1}  cells = {lv.ncell}")
+        return
+
+    state, geom = grid_io.build_uniform_state(levels, cfg.read_metals,
+                                              dtype=dtype)
+    print(f"grid: {geom.nx}^3, box = {geom.physical_box_size / KPC:.1f} kpc")
+
+    if cfg.mode == MODE_CLUMPING_FACTOR:
+        print(f"clumping = {diagnostics.clumping_factor(np.asarray(state.rho))}")
+        return
+
+    if cfg.mode == MODE_INITIAL_CONFIGURATION:
+        m = diagnostics.project_to_map(np.asarray(state.abun2),
+                                       np.asarray(state.rho))
+        np.savez(os.path.join(args.snapshot_dir, "map.npz"), map=m)
+        print(f"wrote map.npz ({m.shape})")
+        return
+
+    # ---- sources --------------------------------------------------------
+    stellar_ctx = None
+    if cfg.run_stellar_transfer or cfg.mode == MODE_PLOT_PDFS:
+        src_path = os.path.join(cfg.sph_dir, cfg.sources)
+        lo, hi, _ = grid_io.grid_bounds(levels)
+        stars = sources_io.read_star_file(src_path, lo, hi)
+        batch, host, n_young = sources_io.prepare_sources(
+            stars, geom.nx, cfg.upper_age_limit,
+            abun2=np.asarray(state.abun2))
+        print(f"nStars/specificAge/non-degenerate = {len(stars.age)} "
+              f"{n_young} {batch.n_sources}")
+
+        if cfg.mode == MODE_PLOT_PDFS:
+            host_rho = np.asarray(state.rho)[host[:, 0], host[:, 1], host[:, 2]]
+            pdfs = diagnostics.density_pdfs(np.asarray(state.rho), host_rho)
+            for c, g, s in zip(pdfs.bin_centers, pdfs.pdf_gas, pdfs.pdf_star):
+                print(f"{c:12.4f} {g:12.1f} {s:12.1f}")
+            return
+
+        population = stellar_tables.blackbody_population()
+        stellar_ctx = step_mod.StellarContext.build(
+            population, batch, geom, 10.0 * MYR,
+            metal_coefs=[(0, 0.0)], n_stars_specific_age=n_young,
+            dust_approximation=cfg.dust_approximation)
+
+    # ---- model + iteration loop ----------------------------------------
+    model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
+    itime = 0
+    if cfg.restart:
+        snap = (os.path.join(args.snapshot_dir, cfg.restart_cell_array_name)
+                if cfg.restart_cell_array_name
+                else snapshot.latest_snapshot(args.snapshot_dir))
+        if snap:
+            state, itime = snapshot.read_snapshot(snap, state)
+            print(f"restarted from {snap} at itime={itime}")
+
+    tlog = snapshot.TimeLog(os.path.join(args.snapshot_dir, "time"))
+    step = model.make_step(stellar_ctx)
+    max_iter = args.iters or cfg.max_iterations or 50
+    prev_nf = np.inf
+    for _ in range(max_iter):
+        itime += 1
+        t0 = time.time()
+        out = step(state)
+        state, diag = out if isinstance(out, tuple) else (out, None)
+        nf = model.neutral_fraction(state)
+        tlog.append(itime, nf)
+        msg = f"itime={itime} neutral={nf:.8f} dt={time.time() - t0:.2f}s"
+        if diag is not None:
+            from .core.rays import escape_fractions
+            frac = escape_fractions(diag, float(stellar_ctx.sources.weight.sum()))
+            msg += "  fesc=" + "/".join(f"{f:.3f}" for f in frac)
+        print(msg)
+        snapshot.write_snapshot(snapshot.snapshot_name(itime, args.snapshot_dir),
+                                state, itime, geom.physical_box_size)
+        if abs(nf - prev_nf) <= 1e-6 * max(nf, 1e-30):
+            print("converged")
+            break
+        prev_nf = nf
+
+
+if __name__ == "__main__":
+    main()

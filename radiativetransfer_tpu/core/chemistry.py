@@ -91,23 +91,33 @@ def _equilibrium_species(de, nh, nhe, k, g24, g25, g26):
     """Closed-form species given electron density de.
 
     The HeII-balance residual drives the bisection
-    (equiSources.f90:3592-3602).
+    (equiSources.f90:3592-3602).  Divisions are guarded against float32
+    underflow of k*de products (the reference runs in float64 where the
+    1e-30 lower bracket stays representable).
     """
     k1, k2, k3, k4, k5, k6 = k
-    HII = nh / (1.0 + k2 * de / (k1 * de + g24))
-    R = (k3 * de + g26) / (k4 * de)
+    tiny = 1e-300 if de.dtype == jnp.float64 else 1e-37
+    HII = nh / (1.0 + k2 * de / jnp.maximum(k1 * de + g24, tiny))
+    R = (k3 * de + g26) / jnp.maximum(k4 * de, tiny)
     HeI = (de - HII - 2.0 * nhe) / (R - 2.0 - 2.0 * R)
     res = (k3 * HeI * de + k6 * (nhe - HeI - HeI * R) * de + g26 * HeI
            - HeI * R * (k4 * de + k5 * de + g25))
     return HII, R, HeI, res
 
 
-def photo_rates_from_sources(krate_cell, absorber_density, cell_volume):
-    """Convert per-cell photo counts [1/s] to per-particle rates [1/s]
-    (equiSources.f90:3519-3543)."""
+def photo_rates_from_sources(krate_density, absorber_density):
+    """Convert volumetric photoionization rates [1/s/cm^3] to per-particle
+    rates [1/s] (equiSources.f90:3519-3543).
+
+    The reference divides per-cell counts by cell_volume * n_absorber; the
+    cell volume in CGS (~1e71 cm^3 at 100 kpc cells) overflows float32, so
+    the volume division is folded into the source tables at build time
+    (StellarContext.build) and only the absorber-density division remains on
+    device.
+    """
     rate = jnp.where(absorber_density > 0.0,
-                     krate_cell / (cell_volume * jnp.where(absorber_density > 0.0,
-                                                           absorber_density, 1.0)),
+                     krate_density / jnp.where(absorber_density > 0.0,
+                                               absorber_density, 1.0),
                      0.0)
     return jnp.maximum(rate, 0.0)
 
@@ -152,8 +162,14 @@ def solve_equilibrium(nh, nhe, tgas, g24, g25, g26, tables: RateTablesDevice,
     kk = _lookup(tables.k16, logtem)
     k = tuple(kk[..., i] for i in range(6))
 
-    de_lo = jnp.full_like(nh, 1.0e-30)
+    # lower bracket: 1e-30 in float64 (equiSources.f90:3590); scaled up for
+    # float32 so k*de products stay in range (the physical root is always
+    # above ~1e-12 of the total charge budget)
     de_hi = nh + 2.0 * nhe
+    if nh.dtype == jnp.float64:
+        de_lo = jnp.full_like(nh, 1.0e-30)
+    else:
+        de_lo = 1.0e-12 * de_hi
     _, _, _, res_lo = _equilibrium_species(de_lo, nh, nhe, k, g24, g25, g26)
 
     def body(_, carry):
@@ -169,10 +185,14 @@ def solve_equilibrium(nh, nhe, tgas, g24, g25, g26, tables: RateTablesDevice,
     de_lo, de_hi, _ = jax.lax.fori_loop(0, n_iter, body, (de_lo, de_hi, res_lo))
     de = 0.5 * (de_lo + de_hi)
 
-    # back-substitution (equiSources.f90:3629-3632)
+    # back-substitution (equiSources.f90:3629-3632), clamped to conservation
+    # (the reference asserts 0 <= x <= 1 and aborts; low-precision noise is
+    # clamped instead)
+    tiny = 1e-300 if nh.dtype == jnp.float64 else 1e-37
     HII, R, HeI, _ = _equilibrium_species(de, nh, nhe, k, g24, g25, g26)
-    HeII = HeI * R
-    HI = k[1] * HII * de / (k[0] * de + g24)
+    HeI = jnp.clip(HeI, 0.0, nhe)
+    HeII = jnp.clip(HeI * R, 0.0, nhe - HeI)
+    HI = jnp.clip(k[1] * HII * de / jnp.maximum(k[0] * de + g24, tiny), 0.0, nh)
     return HI, HeI, HeII, de
 
 
@@ -191,10 +211,9 @@ def solve_rate_equations(state, geom, tables: RateTablesDevice, ksi_matrix=None,
     HI, HeI, HeII = clamp_species(nh, nhe, state.HI, state.HeI, state.HeII)
     HII = nh - HI
 
-    vol = geom.cell_volume
-    g24 = photo_rates_from_sources(state.krate24, HI, vol)
-    g25 = photo_rates_from_sources(state.krate25, HeII, vol)
-    g26 = photo_rates_from_sources(state.krate26, HeI, vol)
+    g24 = photo_rates_from_sources(state.krate24, HI)
+    g25 = photo_rates_from_sources(state.krate25, HeII)
+    g26 = photo_rates_from_sources(state.krate26, HeI)
 
     if run_uvb_transfer:
         d24, d25, d26 = diffuse_photo_rates(state.Jmean, ksi_matrix)

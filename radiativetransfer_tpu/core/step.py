@@ -55,22 +55,28 @@ class StellarContext:
     max_pixel_level: int = 6
 
     @classmethod
-    def build(cls, population, sources: rays.SourceBatch,
+    def build(cls, population, sources: rays.SourceBatch, geom: GridGeometry,
               age_s: float, metal_coefs: list[tuple[int, float]],
               n_stars_specific_age: int | None = None,
               dust_approximation: int = 0, max_pixel_level: int = 6,
               dust=None) -> "StellarContext":
         """Build stacked tables for the metallicity buckets at a fixed age
         slice (the reference uses timeReadTable = 10 Myr,
-        equiSources.f90:1236)."""
+        equiSources.f90:1236).
+
+        The tables are divided by the cell volume (in float64, on host) so
+        the ray deposits are volumetric rates [1/s/cm^3]: CGS cell volumes
+        overflow float32 on device (see chemistry.photo_rates_from_sources).
+        """
         i_spec, coef_spec = population.age_bracket(age_s)
+        log_vol = float(np.log(geom.cell_volume))
         reaction, energy = [], []
         out = None
         for i_metal, coef_metal in metal_coefs:
             t = stellar_tables.build_source_tables(
                 population, i_spec, coef_spec, i_metal, coef_metal, dust=dust)
-            reaction.append(t.reaction_log)
-            energy.append(t.energy_log)
+            reaction.append(t.reaction_log - log_vol)
+            energy.append(t.energy_log - log_vol)
             out = t
         tables = {
             "reaction_log": jnp.asarray(np.stack(reaction)),

@@ -117,9 +117,9 @@ def read_level_npz(path: str) -> list[LevelData]:
         ) for i in range(n)]
 
 
-def normalize_coordinates(levels: list[LevelData]) -> tuple[list[LevelData], float]:
-    """Normalize positions to [0,1) and return the physical box size [cm]
-    (equiSources.f90:448-491; input coordinates are cell centers in kpc)."""
+def grid_bounds(levels: list[LevelData]) -> tuple[np.ndarray, np.ndarray, float]:
+    """(lo, hi) kpc-frame box edges and physical box size [cm]
+    (equiSources.f90:448-491: base-level cell centers padded by half a cell)."""
     p = levels[0].pos
     ncell = p.shape[0]
     n = round(ncell ** (1.0 / 3.0))
@@ -131,7 +131,13 @@ def normalize_coordinates(levels: list[LevelData]) -> tuple[list[LevelData], flo
     half = 0.5 * (hi - lo) * n / (n - 1)
     lo = center - half
     hi = center + half
-    box = float(abs(hi[0] - lo[0])) * KPC
+    return lo, hi, float(abs(hi[0] - lo[0])) * KPC
+
+
+def normalize_coordinates(levels: list[LevelData]) -> tuple[list[LevelData], float]:
+    """Normalize positions to [0,1) and return the physical box size [cm]
+    (equiSources.f90:448-491; input coordinates are cell centers in kpc)."""
+    lo, hi, box = grid_bounds(levels)
     out = []
     for lv in levels:
         pos = (lv.pos - lo) / (hi - lo)
