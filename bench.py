@@ -51,7 +51,16 @@ def main() -> None:
     uvb = jnp.asarray([1e-21, 5e-22, 1e-22], jnp.float32)
 
     plan = sweep.build_sweep_plan(level, n)
-    run = sweep.make_jitted_sweep(plan)
+    impl = os.environ.get("BENCH_IMPL", "pallas" if platform != "cpu" else "xla")
+    if impl == "pallas" and platform == "cpu":
+        print("note: Pallas kernels need a TPU backend; falling back to the "
+              "XLA sweep on cpu", file=sys.stderr)
+        impl = "xla"
+    if impl == "pallas":
+        from radiativetransfer_tpu.core import sweep_pallas
+        run = sweep_pallas.make_jitted_sweep_pallas(plan)
+    else:
+        run = sweep.make_jitted_sweep(plan)
 
     def sync(x):
         # fetch a data-dependent scalar: block_until_ready alone returns
@@ -72,7 +81,7 @@ def main() -> None:
     value = cells_angles / dt
     print(json.dumps({
         "metric": f"sweep cells*angles/s ({n}^3 grid, {ndir} directions, "
-                  f"3 bands, {platform})",
+                  f"3 bands, {impl}, {platform})",
         "value": value,
         "unit": "cells*angles/s",
         "vs_baseline": value / TARGET_CELLS_ANGLES_PER_S,

@@ -241,9 +241,17 @@ class RTModel:
         if cfg.run_uvb_transfer:
             kappa = opacity.compute_opacities(state.HI, state.HeI, state.HeII,
                                               self.opacity_coef)
-            jmean = sweep.diffuse_sweep(kappa, self.sweep_plan,
-                                        jnp.asarray(self.uvb, kappa.dtype),
-                                        self.geom.cell_size)
+            use_pallas = (cfg.use_pallas_sweep
+                          and jax.devices()[0].platform not in ("cpu",))
+            if use_pallas:
+                from . import sweep_pallas
+                jmean = sweep_pallas.diffuse_sweep_pallas(
+                    kappa, self.sweep_plan, jnp.asarray(self.uvb, kappa.dtype),
+                    self.geom.cell_size)
+            else:
+                jmean = sweep.diffuse_sweep(kappa, self.sweep_plan,
+                                            jnp.asarray(self.uvb, kappa.dtype),
+                                            self.geom.cell_size)
             state = dataclasses.replace(state, Jmean=jmean)
 
         return chemistry.solve_rate_equations(

@@ -33,7 +33,17 @@ import numpy as np
 from ..geometry import healpix, octants, patterns
 from ..geometry.patterns import SEG_XZ
 
-_TAU_EPS = 1.0e-10  # matches the tau>1.e-10 branch (equiSources.f90:1618)
+# small-tau switch for the (1-e^-tau)/tau form: 1e-10 in float64 matches the
+# reference branch (equiSources.f90:1618); float32 needs a much larger
+# threshold because 1-exp(-tau) cancels to zero below tau ~ 1e-7 (the linear
+# limit 1 - tau/2 is accurate to ~tau^2/6 < 2e-9 at the switch)
+_TAU_EPS_F64 = 1.0e-10
+_TAU_EPS_F32 = 1.0e-4
+
+
+def _tau_eps(dtype):
+    import jax.numpy as _jnp
+    return _TAU_EPS_F64 if dtype == _jnp.float64 else _TAU_EPS_F32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,7 +98,8 @@ def _attenuate(i_in, tau):
     computeCellIntensity).
     """
     a = jnp.exp(-tau)
-    emi = jnp.where(tau > _TAU_EPS, (1.0 - a) / jnp.where(tau > _TAU_EPS, tau, 1.0),
+    eps = _tau_eps(tau.dtype)
+    emi = jnp.where(tau > eps, (1.0 - a) / jnp.where(tau > eps, tau, 1.0),
                     1.0 - 0.5 * tau)
     return i_in * a, i_in * emi
 

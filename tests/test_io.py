@@ -1,0 +1,236 @@
+"""I/O subsystem tests: SFC codec, snapshots/restart, grid and source
+ingestion, diagnostics, config parsing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radiativetransfer_tpu import config as config_mod
+from radiativetransfer_tpu.constants import KPC, MH, PSI
+from radiativetransfer_tpu.core.state import GridGeometry, uniform_state
+from radiativetransfer_tpu.io import diagnostics, grid_io, sfc, snapshot, sources_io
+
+
+class TestSfc:
+    def test_uniform_grid_is_c_order(self):
+        n = 3
+        enum = sfc.enumerate_leaves(n, n, n, [np.zeros((n, n, n), np.uint8)])
+        np.testing.assert_array_equal(enum["level"], 0)
+        np.testing.assert_array_equal(enum["src"], np.arange(n ** 3))
+
+    def test_native_matches_python(self):
+        rng = np.random.default_rng(0)
+        n = 4
+        r0 = (rng.random((n, n, n)) < 0.4).astype(np.uint8)
+        r1 = np.zeros((2 * n,) * 3, np.uint8)
+        for i, j, k in zip(*np.where(r0)):
+            if rng.random() < 0.5:
+                r1[2 * i + 1, 2 * j, 2 * k + 1] = 1
+        a = sfc.enumerate_leaves(n, n, n, [r0, r1])
+        b = sfc._enumerate_python(n, n, n, [r0, r1])
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+    def test_leaf_count_invariant(self):
+        # each refinement replaces 1 leaf with 8
+        rng = np.random.default_rng(1)
+        n = 4
+        r0 = (rng.random((n, n, n)) < 0.5).astype(np.uint8)
+        enum = sfc.enumerate_leaves(n, n, n, [r0])
+        assert len(enum["level"]) == n ** 3 + 7 * int(r0.sum())
+
+    def test_refined_order_matches_reference_recursion(self):
+        # single refined cell: its 8 children appear consecutively at the
+        # parent's position, in i,j,k (x-major) order (writeCell :4053-4060)
+        n = 2
+        r0 = np.zeros((n, n, n), np.uint8)
+        r0[0, 0, 0] = 1
+        enum = sfc.enumerate_leaves(n, n, n, [r0])
+        assert list(enum["level"][:8]) == [1] * 8
+        # children coordinates in x-major order
+        xs = enum["x"][:8] * (2 * n)
+        assert list(xs) == [0.5, 0.5, 0.5, 0.5, 1.5, 1.5, 1.5, 1.5]
+
+
+class TestSnapshot:
+    def test_write_read_round_trip(self, tmp_path):
+        state = uniform_state(6, nh=1e-3, tgas=1.5e4, dtype=jnp.float64)
+        import dataclasses
+        state = dataclasses.replace(state, HI=state.nh * 0.3)
+        path = snapshot.snapshot_name(7, str(tmp_path))
+        snapshot.write_snapshot(path, state, 7, 100 * KPC)
+        fresh = uniform_state(6, nh=1e-3, tgas=1e4, dtype=jnp.float64)
+        restored, itime = snapshot.read_snapshot(path, fresh)
+        assert itime == 7
+        np.testing.assert_allclose(np.asarray(restored.HI),
+                                   np.asarray(state.HI), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(restored.tgas), 1.5e4, rtol=1e-6)
+
+    def test_restart_clamps_species(self, tmp_path):
+        # snapshot with HI > nH must be clamped on read (:4765-4773)
+        state = uniform_state(4, nh=1e-3, tgas=1e4, dtype=jnp.float64)
+        import dataclasses
+        bad = dataclasses.replace(state, HI=state.nh * 2.0,
+                                  HeI=state.nhe * 0.9, HeII=state.nhe * 0.9)
+        path = snapshot.snapshot_name(1, str(tmp_path))
+        snapshot.write_snapshot(path, bad, 1, 100 * KPC)
+        restored, _ = snapshot.read_snapshot(path, state)
+        assert np.all(np.asarray(restored.HI) <= np.asarray(state.nh) * (1 + 1e-5))
+        tot = np.asarray(restored.HeI + restored.HeII)
+        assert np.all(tot <= np.asarray(state.nhe) * (1 + 1e-5))
+
+    def test_latest_snapshot(self, tmp_path):
+        state = uniform_state(4, dtype=jnp.float64)
+        for it in (3, 11, 7):
+            snapshot.write_snapshot(
+                snapshot.snapshot_name(it, str(tmp_path)), state, it, 1.0)
+        assert snapshot.latest_snapshot(str(tmp_path)).endswith("cellArray0011.npz")
+
+
+class TestGridIo:
+    def _levels(self, n=8, box=100.0):
+        ax = (np.arange(n) + 0.5) / n * box - box / 2
+        x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+        pos = np.stack([x.ravel(), y.ravel(), z.ravel()], 1).astype(np.float32)
+        lnH = np.linspace(-4, -2, n ** 3).astype(np.float32)
+        return [grid_io.LevelData(pos=pos, lT=np.full(n ** 3, 4.0, np.float32),
+                                  lnH=lnH, lx=np.zeros(n ** 3, np.float32))]
+
+    def test_npz_round_trip(self, tmp_path):
+        levels = self._levels()
+        p = str(tmp_path / "grid.npz")
+        grid_io.write_level_npz(p, levels)
+        back = grid_io.read_level_npz(p)
+        np.testing.assert_array_equal(back[0].pos, levels[0].pos)
+        np.testing.assert_array_equal(back[0].lnH, levels[0].lnH)
+
+    def test_build_uniform_state(self):
+        levels = self._levels(n=8, box=100.0)
+        state, geom = grid_io.build_uniform_state(levels, read_metals=False,
+                                                  dtype=jnp.float64)
+        assert geom.nx == 8
+        assert geom.physical_box_size == pytest.approx(100 * KPC, rel=1e-6)
+        # density placed correctly: rho = nh * mh / psi
+        nh = 10.0 ** np.asarray(levels[0].lnH).reshape(8, 8, 8)
+        np.testing.assert_allclose(np.asarray(state.rho), nh * MH / PSI,
+                                   rtol=1e-5)
+        # fully neutral input -> HI == nH
+        np.testing.assert_allclose(np.asarray(state.HI), nh, rtol=1e-5)
+
+    def test_smoothing_matches_reference_loops(self):
+        # literal port of the 1-2-1 passes at equiSources.f90:537-571
+        # (contributions across the box boundary are dropped)
+        rng = np.random.default_rng(2)
+        f = rng.random((6, 6, 6))
+
+        def ref_smooth(u):
+            u = u.copy()
+            n = u.shape[0]
+            for _ in range(2):
+                for ax in range(3):
+                    t = np.zeros_like(u)
+                    for i in range(n):
+                        sl = [slice(None)] * 3
+                        sl[ax] = i
+                        t[tuple(sl)] += 0.5 * u[tuple(sl)]
+                        if i > 0:
+                            lo = list(sl)
+                            lo[ax] = i - 1
+                            t[tuple(lo)] += 0.25 * u[tuple(sl)]
+                        if i < n - 1:
+                            hi = list(sl)
+                            hi[ax] = i + 1
+                            t[tuple(hi)] += 0.25 * u[tuple(sl)]
+                    u = t
+            return u
+
+        np.testing.assert_allclose(grid_io.smooth_metallicity(f),
+                                   ref_smooth(f), rtol=1e-12)
+        assert grid_io.smooth_metallicity(f).std() < f.std()
+
+    def test_fortran_binary_round_trip(self, tmp_path):
+        # write a file in the reference's unformatted record format by hand
+        import struct
+        levels = self._levels(n=4, box=10.0)
+        lv = levels[0]
+        p = str(tmp_path / "grid.dat")
+        with open(p, "wb") as fh:
+            def rec(data: bytes):
+                fh.write(struct.pack("<i", len(data)))
+                fh.write(data)
+                fh.write(struct.pack("<i", len(data)))
+            rec(struct.pack("<i", 1))
+            rec(struct.pack("<i", lv.ncell))
+            for col in (lv.pos[:, 0], lv.pos[:, 1], lv.pos[:, 2],
+                        lv.lT, lv.lnH, lv.lx):
+                rec(np.asarray(col, "<f4").tobytes())
+        back = grid_io.read_fortran_level_binary(p, False, False)
+        assert back[0].ncell == 64
+        np.testing.assert_allclose(back[0].pos, lv.pos, rtol=1e-6)
+        np.testing.assert_allclose(back[0].lnH, lv.lnH, rtol=1e-6)
+
+
+class TestSources:
+    def test_prepare_sources_dedup(self):
+        n = 8
+        pos = np.array([[0.11, 0.11, 0.11],   # cell (0,0,0)
+                        [0.115, 0.118, 0.112],  # same cell
+                        [0.61, 0.61, 0.61],   # another cell
+                        [0.9, 0.9, 0.9]])     # old star, filtered
+        from radiativetransfer_tpu.constants import MYR
+        stars = sources_io.StarList(position=pos,
+                                    age=np.array([1, 2, 3, 99]) * MYR,
+                                    level=np.zeros(4, int))
+        batch, host, n_young = sources_io.prepare_sources(stars, n, 34 * MYR)
+        assert n_young == 3
+        assert batch.n_sources == 2
+        assert sorted(batch.weight.tolist()) == [1.0, 2.0]
+        # sources sit at host-cell centers
+        for p in batch.position:
+            np.testing.assert_allclose((p * n) % 1.0, 0.5, atol=1e-12)
+
+
+class TestDiagnostics:
+    def test_clumping_uniform_is_one(self):
+        rho = np.full((8, 8, 8), 1e-25)
+        assert diagnostics.clumping_factor(rho) == pytest.approx(1.0)
+
+    def test_clumping_increases_with_variance(self):
+        rng = np.random.default_rng(3)
+        rho = rng.lognormal(0, 1.0, (8, 8, 8)) * 1e-25
+        assert diagnostics.clumping_factor(rho) > 1.5
+
+    def test_pdf_totals(self):
+        rng = np.random.default_rng(4)
+        rho = rng.lognormal(0, 1, (8, 8, 8)) * 1e-27
+        res = diagnostics.density_pdfs(rho)
+        assert res.pdf_gas.sum() + res.gas_outside == 8 ** 3
+
+    def test_projection_weighted_mean(self):
+        field = np.ones((4, 4, 4)) * 3.0
+        w = np.random.default_rng(5).random((4, 4, 4)) + 0.1
+        m = diagnostics.project_to_map(field, w)
+        np.testing.assert_allclose(m, 3.0, rtol=1e-12)
+
+
+class TestConfig:
+    def test_parse_reference_input_parameters(self):
+        with open("/root/reference/inputParameters") as fh:
+            cfg = config_mod.parse_legacy_input_parameters(fh.read())
+        assert cfg.mode == 1
+        assert cfg.current_redshift == 6.55
+        assert cfg.self_shielding_threshold_kpc == 0.1
+        assert cfg.upper_age_limit_myr == 34.0
+        assert cfg.reionization_model == 10
+        assert cfg.read_kinematics and cfg.read_metals
+        assert cfg.run_stellar_transfer and not cfg.run_uvb_transfer
+
+    def test_json_round_trip(self, tmp_path):
+        cfg = config_mod.RunConfig(mode=8, current_redshift=7.0,
+                                   n_angular_level=2)
+        p = str(tmp_path / "cfg.json")
+        config_mod.save_config(cfg, p)
+        back = config_mod.load_config(p)
+        assert back == cfg

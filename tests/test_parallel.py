@@ -1,0 +1,70 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY.md §4f):
+sharded results must equal single-device results."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radiativetransfer_tpu.config import MODE_UVB_TRANSFER_ONLY, RunConfig
+from radiativetransfer_tpu.constants import KPC
+from radiativetransfer_tpu.core import step as step_mod, sweep
+from radiativetransfer_tpu.core.state import GridGeometry, uniform_state
+from radiativetransfer_tpu.parallel import mesh as pmesh
+
+
+needs_devices = pytest.mark.skipif(len(jax.devices()) < 8,
+                                   reason="needs 8 virtual devices")
+
+
+@needs_devices
+class TestShardedSweep:
+    def test_sweep_matches_single_device(self):
+        n = 16
+        rng = np.random.default_rng(0)
+        cell = KPC
+        kappa = jnp.asarray(rng.lognormal(0, 1, (3, n, n, n)) * 0.5 / cell,
+                            jnp.float64)
+        uvb = jnp.asarray([1.0, 0.5, 0.25], jnp.float64)
+        plan = sweep.build_sweep_plan(1, n)
+        j_single = np.asarray(sweep.diffuse_sweep(kappa, plan, uvb, cell))
+
+        mesh = pmesh.make_grid_mesh(8)
+        kappa_sh = jax.device_put(kappa, pmesh.band_field_sharding(mesh))
+        run = jax.jit(lambda k: sweep.diffuse_sweep(k, plan, uvb, cell))
+        j_sharded = np.asarray(run(kappa_sh))
+        np.testing.assert_allclose(j_sharded, j_single, rtol=1e-12)
+
+    def test_full_step_matches_single_device(self):
+        n = 16
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 300.0 * KPC)
+        model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        state = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float64)
+
+        out_single = jax.jit(model.transport_chemistry_step)(state)
+
+        mesh = pmesh.make_grid_mesh(8)
+        state_sh = pmesh.shard_state(state, mesh)
+        out_sharded = jax.jit(model.transport_chemistry_step)(state_sh)
+
+        np.testing.assert_allclose(np.asarray(out_sharded.HI),
+                                   np.asarray(out_single.HI), rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(out_sharded.Jmean),
+                                   np.asarray(out_single.Jmean), rtol=1e-11)
+
+    def test_sharded_output_stays_sharded(self):
+        # the chemistry update must not gather the grid to one device
+        n = 16
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 300.0 * KPC)
+        model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        state = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float64)
+        mesh = pmesh.make_grid_mesh(8)
+        state_sh = pmesh.shard_state(state, mesh)
+        out = jax.jit(model.transport_chemistry_step)(state_sh)
+        assert len(out.HI.sharding.device_set) == 8

@@ -1,0 +1,33 @@
+"""Pallas sweep kernel parity (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radiativetransfer_tpu.constants import KPC
+from radiativetransfer_tpu.core import sweep, sweep_pallas
+
+
+@pytest.mark.parametrize("level,n", [(1, 8), (2, 6)])
+def test_pallas_matches_xla(level, n):
+    rng = np.random.default_rng(42)
+    kappa = jnp.asarray(rng.lognormal(0, 1, (3, n, n, n)) * 0.7 / KPC,
+                        jnp.float32)
+    uvb = jnp.array([1.0, 0.5, 0.25], jnp.float32)
+    plan = sweep.build_sweep_plan(level, n)
+    j_xla = np.asarray(sweep.diffuse_sweep(kappa, plan, uvb, KPC))
+    j_pal = np.asarray(sweep_pallas.diffuse_sweep_pallas(
+        kappa, plan, uvb, KPC, interpret=True))
+    np.testing.assert_allclose(j_pal, j_xla, rtol=2e-6)
+
+
+def test_pallas_transparent_box():
+    n = 6
+    kappa = jnp.full((3, n, n, n), 1e-30, jnp.float32)
+    uvb = jnp.array([1.0, 0.5, 0.25], jnp.float32)
+    plan = sweep.build_sweep_plan(1, n)
+    j = np.asarray(sweep_pallas.diffuse_sweep_pallas(kappa, plan, uvb, KPC,
+                                                     interpret=True))
+    np.testing.assert_allclose(
+        j, np.asarray(uvb)[:, None, None, None] * np.ones((3, n, n, n)),
+        rtol=1e-5)
