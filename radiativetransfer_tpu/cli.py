@@ -113,6 +113,9 @@ def main(argv=None):
 
     # ---- model + iteration loop ----------------------------------------
     model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
+    state = model.initialize_equilibrium(state)
+    nf0 = model.neutral_fraction(state)
+    print(f"ionization equilibrium: {nf0:.8e}")
     itime = 0
     if cfg.restart:
         snap = (os.path.join(args.snapshot_dir, cfg.restart_cell_array_name)
@@ -135,9 +138,15 @@ def main(argv=None):
         tlog.append(itime, nf)
         msg = f"itime={itime} neutral={nf:.8f} dt={time.time() - t0:.2f}s"
         if diag is not None:
-            from .core.rays import escape_fractions
-            frac = escape_fractions(diag, float(stellar_ctx.sources.weight.sum()))
-            msg += "  fesc=" + "/".join(f"{f:.3f}" for f in frac)
+            from .core.rays import cosmic_spectrum, escape_fractions
+            frac = escape_fractions(diag, stellar_ctx.sources.weight)
+            w = stellar_ctx.sources.weight
+            mean_fesc = (frac * w[:, None]).sum(0) / w.sum()
+            msg += "  fesc=" + "/".join(f"{f:.3f}" for f in mean_fesc)
+            spec = cosmic_spectrum(diag, w, stellar_ctx.n_stars_specific_age)
+            np.savez(os.path.join(args.snapshot_dir, "cosmicSpectrum.npz"),
+                     freq=np.asarray(stellar_ctx.tables["output_freq"]),
+                     spectrum=spec)
         print(msg)
         snapshot.write_snapshot(snapshot.snapshot_name(itime, args.snapshot_dir),
                                 state, itime, geom.physical_box_size)

@@ -67,17 +67,18 @@ class SourceBatch:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RayDiagnostics:
-    """Escape-fraction and emergent-spectrum accumulators
-    (localDefinitions, equiSources.f90:6-15)."""
-    ndot_remaining: jax.Array   # (nradius,)
-    ndot_boundary: jax.Array    # (nradius,)
-    ndot_spectrum: jax.Array    # (nenergy,)
+    """Per-source escape-fraction and emergent-spectrum accumulators
+    (localDefinitions, equiSources.f90:6-15; the reference resets these per
+    source in its serial loop, :1266-1270)."""
+    ndot_remaining: jax.Array   # (S, nradius)
+    ndot_boundary: jax.Array    # (S, nradius)
+    ndot_spectrum: jax.Array    # (S, nenergy)
 
     @classmethod
-    def zeros(cls, dtype=jnp.float32) -> "RayDiagnostics":
-        return cls(ndot_remaining=jnp.zeros(N_RADIUS, dtype),
-                   ndot_boundary=jnp.zeros(N_RADIUS, dtype),
-                   ndot_spectrum=jnp.zeros(NENERGY, dtype))
+    def zeros(cls, n_sources: int, dtype=jnp.float32) -> "RayDiagnostics":
+        return cls(ndot_remaining=jnp.zeros((n_sources, N_RADIUS), dtype),
+                   ndot_boundary=jnp.zeros((n_sources, N_RADIUS), dtype),
+                   ndot_spectrum=jnp.zeros((n_sources, NENERGY), dtype))
 
 
 @jax.tree_util.register_dataclass
@@ -117,7 +118,7 @@ def _base_directions(n_rays_per_source: int, level: int) -> np.ndarray:
 
 def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
                  rate_fields: RateFields, r_stop: float, last_phase: bool,
-                 dust_approximation: int, max_steps: int):
+                 dust_approximation: int, max_steps: int, src_of_ray):
     """March all rays of one phase until they die or reach r_stop.
 
     fields: dict with flattened HI, HeI, HeII, nH, abun2 (n^3,) arrays.
@@ -192,7 +193,7 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
             -(ratio * (tau1 + taud)[:, None] + (state.depth[:, 0] + state.depth[:, 3])[:, None]))
         diag = dataclasses.replace(
             diag, ndot_remaining=diag.ndot_remaining
-            + jnp.sum(jnp.where(in_seg, esc, 0.0), axis=0))
+            .at[src_of_ray].add(jnp.where(in_seg, esc, 0.0)))
         # outermost-radius crossing record for the emergent spectrum
         crossing = in_seg[:, -1] & ~state.crossed
         cross_depth = jnp.where(
@@ -247,8 +248,8 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
         beyond = out_radii[None, :] > r2[:, None]
         diag = dataclasses.replace(
             diag, ndot_boundary=diag.ndot_boundary
-            + jnp.sum(jnp.where(beyond & hit_boundary[:, None],
-                                state.ndot[:, None], 0.0), axis=0))
+            .at[src_of_ray].add(jnp.where(beyond & hit_boundary[:, None],
+                                          state.ndot[:, None], 0.0)))
 
         alive_new = active & ~out_of_box & ~killed_tau & ~will_split
         split_new = state.split | (active & will_split & ~killed_tau)
@@ -374,12 +375,13 @@ def _split_rays(state: _RayState, level: int, n: int, dtype) -> _RayState:
 
 
 def _trace_all_phases(fields, init_state: _RayState, tables, geom,
-                      dust_approximation: int, max_pixel_level: int, dtype):
+                      n_sources: int, dust_approximation: int,
+                      max_pixel_level: int, dtype):
     """All phases of the trace; pure function of arrays, jitted via
     _get_tracer (the phase loop unrolls at trace time)."""
     n = geom.nx
     rmax = rmax_table()
-    diag = RayDiagnostics.zeros(dtype)
+    diag = RayDiagnostics.zeros(n_sources, dtype)
     rf = RateFields(*[jnp.zeros(n * n * n, dtype) for _ in range(6)])
     state = init_state
 
@@ -394,9 +396,12 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
         last = level == max_pixel_level
         r_stop = rmax[level - 1]
         max_steps = int(6 * n + 64) if last else int(3 * (r_stop + 2) + 16)
+        rays_per_source = 12 * 4 ** (level - 1)
+        src_of_ray = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32),
+                                rays_per_source)
         state, diag, rf = _march_phase(
             state, fields, geom, tables, diag, rf, r_stop, last,
-            dust_approximation, max_steps)
+            dust_approximation, max_steps, src_of_ray)
 
         # emergent spectrum from this phase's outer-radius crossings
         # (equiSources.f90:3206-3223)
@@ -404,7 +409,7 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
         contrib = jnp.where(state.crossed[:, None],
                             state.ndot[:, None] * jnp.exp(-spec_tau), 0.0)
         diag = dataclasses.replace(
-            diag, ndot_spectrum=diag.ndot_spectrum + jnp.sum(contrib, axis=0))
+            diag, ndot_spectrum=diag.ndot_spectrum.at[src_of_ray].add(contrib))
         # only count each crossing once
         state = dataclasses.replace(state, crossed=jnp.zeros_like(state.crossed))
 
@@ -415,10 +420,11 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
             out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
             r2 = state.radius * geom.cell_size
             beyond = out_radii[None, :] > r2[:, None]
+            src4 = jnp.repeat(src_of_ray, 4)
             diag = dataclasses.replace(
                 diag, ndot_boundary=diag.ndot_boundary
-                + jnp.sum(jnp.where(beyond & lost[:, None],
-                                    state.ndot[:, None], 0.0), axis=0))
+                .at[src4].add(jnp.where(beyond & lost[:, None],
+                                        state.ndot[:, None], 0.0)))
 
     return rf, diag
 
@@ -426,13 +432,15 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
 _TRACER_CACHE: dict = {}
 
 
-def _get_tracer(geom, dust_approximation: int, max_pixel_level: int, dtype):
+def _get_tracer(geom, n_sources: int, dust_approximation: int,
+                max_pixel_level: int, dtype):
     """Compiled tracer, cached on the static configuration so repeated
     iterations reuse the executable."""
-    key = (geom, dust_approximation, max_pixel_level, jnp.dtype(dtype).name)
+    key = (geom, n_sources, dust_approximation, max_pixel_level,
+           jnp.dtype(dtype).name)
     if key not in _TRACER_CACHE:
         _TRACER_CACHE[key] = jax.jit(
-            partial(_trace_all_phases, geom=geom,
+            partial(_trace_all_phases, geom=geom, n_sources=n_sources,
                     dust_approximation=dust_approximation,
                     max_pixel_level=max_pixel_level, dtype=dtype))
     return _TRACER_CACHE[key]
@@ -460,15 +468,30 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
     state = dataclasses.replace(
         state, cell=jnp.clip((state.pos * n).astype(jnp.int32), 0, n - 1))
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
-    tracer = _get_tracer(geom, dust_approximation, max_pixel_level, dtype)
+    tracer = _get_tracer(geom, sources.n_sources, dust_approximation,
+                         max_pixel_level, dtype)
     return tracer(fields, state, tables_dev)
 
 
-def escape_fractions(diag: RayDiagnostics, ndot_total: float) -> np.ndarray:
-    """fraction(iradius) = remaining/(total - boundary)
-    (equiSources.f90:1342-1348)."""
+def escape_fractions(diag: RayDiagnostics, weights: np.ndarray) -> np.ndarray:
+    """Per-source fraction(iradius) = remaining/(ndot1 - boundary)
+    (equiSources.f90:1342-1348).  weights: (S,) merged multiplicities
+    (= ndot1 per source).  Returns (S, nradius)."""
     nb = np.asarray(diag.ndot_boundary)
     nr = np.asarray(diag.ndot_remaining)
+    w = np.asarray(weights, np.float64)[:, None]
     with np.errstate(divide="ignore", invalid="ignore"):
-        frac = np.where(nb < ndot_total, nr / (ndot_total - nb), 0.0)
+        frac = np.where(nb < w, nr / np.where(nb < w, w - nb, 1.0), 0.0)
     return frac
+
+
+def cosmic_spectrum(diag: RayDiagnostics, weights: np.ndarray,
+                    n_stars_specific_age: int) -> np.ndarray:
+    """Emergent spectrum averaged over sources
+    (equiSources.f90:1350-1366): sum_s w_s * spectrum_s/(w_s - boundary_s)
+    divided by nStarsSpecificAge."""
+    w = np.asarray(weights, np.float64)[:, None]
+    nb = np.asarray(diag.ndot_boundary)[:, -1:]
+    spec = np.asarray(diag.ndot_spectrum)
+    denom = np.where(nb < w, w - nb, np.inf)
+    return (w * spec / denom).sum(axis=0) / max(n_stars_specific_age, 1)

@@ -201,6 +201,27 @@ class RTModel:
             FOUR_PI * (self.uniform_quasar * q.gammaHeI + self.uniform_stellar * s.gammaHeI),
         )
 
+    # ----- setup-time equilibrium ----------------------------------------
+
+    def initialize_equilibrium(self, state: FieldState) -> FieldState:
+        """Initial ionization equilibrium under the uniform UVB, run twice
+        because the self-shielding surface moves after the first pass
+        (equiSources.f90:1012-1021), followed by the thermal-balance
+        diagnostic (:1026-1033)."""
+        init = jax.jit(lambda s: chemistry.solve_rate_equations(
+            s.zero_rates(), self.geom, self.dev_tables,
+            gamma_thin=self.gamma_thin,
+            self_shielding_threshold=self.config.self_shielding_threshold,
+            run_uvb_transfer=False,
+            n_iter=110 if s.rho.dtype == jnp.float64 else 60))
+        state = init(state)
+        state = init(state)
+        return chemistry.thermal_equilibrium(
+            state, heat_thin=self.heat_thin,
+            self_shielding_threshold=self.config.self_shielding_threshold,
+            current_redshift=self.config.current_redshift,
+            tables=self.dev_tables, compa=COMPA)
+
     # ----- the iteration -------------------------------------------------
 
     def transport_chemistry_step(self, state: FieldState,

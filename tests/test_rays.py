@@ -88,7 +88,7 @@ class TestPhotonConservation:
                                             tables, max_pixel_level=3)
         assert float(jnp.sum(rf.krate24)) < 1e-10 * total
         # everything escapes: fraction at radii inside the box ~ 1
-        frac = rays.escape_fractions(diag, 1.0)
+        frac = rays.escape_fractions(diag, np.array([1.0]))[0]
         inside = np.array([0.1, 0.3, 1.0, 3.0, 10.0, 30.0]) < 50.0
         np.testing.assert_allclose(frac[:6][inside[:6]], 1.0, atol=1e-6)
 
