@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from radiativetransfer_tpu.io import grid_io
 
 
-def make_grid(n=24, box_kpc=300.0, seed=0, path="testgrid_velmet"):
+def make_grid(n=24, box_kpc=300.0, seed=0, path="testgrid_velmet",
+              refine_center=False):
     rng = np.random.default_rng(seed)
     # cell centers in a kpc frame
     ax = (np.arange(n) + 0.5) / n * box_kpc - box_kpc / 2
@@ -32,6 +33,29 @@ def make_grid(n=24, box_kpc=300.0, seed=0, path="testgrid_velmet"):
     abun[:, 1] = 0.004 * np.exp(-r / (0.3 * box_kpc))
     levels = [grid_io.LevelData(pos=pos, lT=lT, lnH=lnH, lx=lx,
                                 vel=vel, abun=abun)]
+    if refine_center:
+        # level-2 cells covering the central quarter of the box
+        q = n // 4
+        sel = np.arange(q, n - q)
+        axf = []
+        for i in sel:
+            axf += [(i + 0.25) / n * box_kpc - box_kpc / 2,
+                    (i + 0.75) / n * box_kpc - box_kpc / 2]
+        axf = np.array(axf)
+        xf, yf, zf = np.meshgrid(axf, axf, axf, indexing="ij")
+        posf = np.stack([xf.ravel(), yf.ravel(), zf.ravel()], axis=1)
+        rf = np.sqrt((posf ** 2).sum(axis=1))
+        nhf = 3e-3 * (1.0 + (rf / (0.15 * box_kpc)) ** 2) ** -1
+        nhf = nhf * rng.lognormal(0.0, 0.4, nhf.shape)
+        m = len(nhf)
+        velf = rng.normal(0, 30, (m, 3)).astype(np.float32)
+        abunf = np.zeros((m, 4), np.float32)
+        abunf[:, 1] = 0.004 * np.exp(-rf / (0.3 * box_kpc))
+        levels.append(grid_io.LevelData(
+            pos=posf.astype(np.float32),
+            lT=np.full(m, 4.0, np.float32),
+            lnH=np.log10(nhf).astype(np.float32),
+            lx=np.zeros(m, np.float32), vel=velf, abun=abunf))
     grid_io.write_level_npz(path + ".npz", levels)
     return levels, box_kpc
 

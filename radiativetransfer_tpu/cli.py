@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (parity mode)")
     ap.add_argument("--snapshot-dir", default=".")
+    ap.add_argument("--angular-level", type=int, default=0,
+                    help="override nAngularLevel (12*4^(L-1) directions)")
+    ap.add_argument("--max-pixel-level", type=int, default=0,
+                    help="override the point-source ray-splitting depth")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,6 +57,8 @@ def main(argv=None):
     from .constants import KPC, MYR
 
     cfg = load_config(args.config)
+    if args.angular_level:
+        cfg.n_angular_level = args.angular_level
     dtype = jnp.float64 if args.x64 else jnp.float32
     print(f"mode = {cfg.mode}   grid = {cfg.grid}   z = {cfg.current_redshift}")
 
@@ -71,8 +77,18 @@ def main(argv=None):
             print(f"level = {i + 1}  cells = {lv.ncell}")
         return
 
-    state, geom = grid_io.build_uniform_state(levels, cfg.read_metals,
-                                              dtype=dtype)
+    use_amr = len(levels) > 1 and levels[1].ncell > 0
+    if use_amr:
+        from .core import amr as amr_mod
+        amr_state, geom = amr_mod.amr_from_levels(levels, cfg.read_metals,
+                                                  dtype=dtype)
+        state = amr_state.base
+        print(f"grid: {geom.nx}^3 + refined level "
+              f"({int(np.asarray(amr_state.refined).sum())} parents)")
+    else:
+        amr_state = None
+        state, geom = grid_io.build_uniform_state(levels, cfg.read_metals,
+                                                  dtype=dtype)
     print(f"grid: {geom.nx}^3, box = {geom.physical_box_size / KPC:.1f} kpc")
 
     if cfg.mode == MODE_CLUMPING_FACTOR:
@@ -94,7 +110,8 @@ def main(argv=None):
         stars = sources_io.read_star_file(src_path, lo, hi)
         batch, host, n_young = sources_io.prepare_sources(
             stars, geom.nx, cfg.upper_age_limit,
-            abun2=np.asarray(state.abun2))
+            abun2=np.asarray(state.abun2),
+            refined=np.asarray(amr_state.refined) if use_amr else None)
         print(f"nStars/specificAge/non-degenerate = {len(stars.age)} "
               f"{n_young} {batch.n_sources}")
 
@@ -109,12 +126,24 @@ def main(argv=None):
         stellar_ctx = step_mod.StellarContext.build(
             population, batch, geom, 10.0 * MYR,
             metal_coefs=[(0, 0.0)], n_stars_specific_age=n_young,
-            dust_approximation=cfg.dust_approximation)
+            dust_approximation=cfg.dust_approximation,
+            max_pixel_level=args.max_pixel_level or 6)
 
     # ---- model + iteration loop ----------------------------------------
     model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
-    state = model.initialize_equilibrium(state)
-    nf0 = model.neutral_fraction(state)
+    if use_amr:
+        import dataclasses as dc
+
+        from .core import amr as amr_mod, step_amr
+        amodel = step_amr.AMRModel.setup(model)
+        amr_state = dc.replace(
+            amr_state, base=model.initialize_equilibrium(amr_state.base),
+            fine=model.initialize_equilibrium(amr_state.fine))
+        amr_state = amr_mod.sync_restriction(amr_state)
+        nf0 = amodel.neutral_fraction(amr_state)
+    else:
+        state = model.initialize_equilibrium(state)
+        nf0 = model.neutral_fraction(state)
     print(f"ionization equilibrium: {nf0:.8e}")
     itime = 0
     if cfg.restart:
@@ -122,19 +151,34 @@ def main(argv=None):
                 if cfg.restart_cell_array_name
                 else snapshot.latest_snapshot(args.snapshot_dir))
         if snap:
-            state, itime = snapshot.read_snapshot(snap, state)
+            if use_amr:
+                amr_state, itime = snapshot.read_snapshot_amr(snap, amr_state)
+            else:
+                state, itime = snapshot.read_snapshot(snap, state)
             print(f"restarted from {snap} at itime={itime}")
 
     tlog = snapshot.TimeLog(os.path.join(args.snapshot_dir, "time"))
-    step = model.make_step(stellar_ctx)
+    if use_amr:
+        step = amodel.make_step(stellar_ctx)
+    else:
+        step = model.make_step(stellar_ctx)
     max_iter = args.iters or cfg.max_iterations or 50
     prev_nf = np.inf
     for _ in range(max_iter):
         itime += 1
         t0 = time.time()
-        out = step(state)
-        state, diag = out if isinstance(out, tuple) else (out, None)
-        nf = model.neutral_fraction(state)
+        if use_amr:
+            if stellar_ctx is not None:
+                amr_state, diag = step(amr_state)
+            else:
+                amr_state = step(amr_state)
+                diag = None
+            nf = amodel.neutral_fraction(amr_state)
+            state = amr_state
+        else:
+            out = step(state)
+            state, diag = out if isinstance(out, tuple) else (out, None)
+            nf = model.neutral_fraction(state)
         tlog.append(itime, nf)
         msg = f"itime={itime} neutral={nf:.8f} dt={time.time() - t0:.2f}s"
         if diag is not None:
@@ -148,8 +192,14 @@ def main(argv=None):
                      freq=np.asarray(stellar_ctx.tables["output_freq"]),
                      spectrum=spec)
         print(msg)
-        snapshot.write_snapshot(snapshot.snapshot_name(itime, args.snapshot_dir),
-                                state, itime, geom.physical_box_size)
+        if use_amr:
+            snapshot.write_snapshot_amr(
+                snapshot.snapshot_name(itime, args.snapshot_dir), amr_state,
+                itime, geom.physical_box_size)
+        else:
+            snapshot.write_snapshot(
+                snapshot.snapshot_name(itime, args.snapshot_dir), state,
+                itime, geom.physical_box_size)
         if abs(nf - prev_nf) <= 1e-6 * max(nf, 1e-30):
             print("converged")
             break

@@ -340,10 +340,16 @@ def _spawn_phase(sources: SourceBatch, level: int, dtype) -> _RayState:
         cross_depth=jnp.zeros((R, 4), dtype))
 
 
-def _split_rays(state: _RayState, level: int, n: int, dtype) -> _RayState:
+def _split_rays(state: _RayState, level: int, n: int, dtype,
+                cell_grid: int | None = None) -> _RayState:
     """Spawn the 4 NESTED children of every ray marked for splitting
     (equiSources.f90:3294-3378).  Shapes are static: every parent slot
-    produces 4 child slots; dead parents produce dead children."""
+    produces 4 child slots; dead parents produce dead children.
+
+    n is the BASE grid size (the radius unit, :3325); cell_grid is the
+    resolution at which state.cell indices live (2n for the AMR tracer).
+    """
+    cell_grid = cell_grid or n
     R = state.pos.shape[0]
     nside_child = 2 ** level          # children live at pixel level level+1
     # parent pixel p (0-based) at level `level` is implicit in ray order:
@@ -361,7 +367,7 @@ def _split_rays(state: _RayState, level: int, n: int, dtype) -> _RayState:
     # the splitting sphere (equiSources.f90:3325-3332)
     pos = rep(state.pos) + (radius / n)[:, None] * (child_dirs - parent_dir)
     in_box = jnp.all((pos >= 0.0) & (pos <= 1.0), axis=1)
-    cell = jnp.clip((pos * n).astype(jnp.int32), 0, n - 1)
+    cell = jnp.clip((pos * cell_grid).astype(jnp.int32), 0, cell_grid - 1)
 
     return _RayState(
         pos=pos, direction=child_dirs, cell=cell, radius=radius,

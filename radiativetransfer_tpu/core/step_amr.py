@@ -1,0 +1,116 @@
+"""Full transport + chemistry iteration on a two-level AMR grid.
+
+The AMR analog of core.step: zero rates -> point-source trace (rays_amr) ->
+opacities + two-level sweep (sweep_amr) -> per-level equilibrium chemistry
+-> restriction sync (the reference's recursive per-leaf updates walk the
+octree; here each level is one dense elementwise pass).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import amr, chemistry, opacity, rays_amr, sweep_amr
+from .state import GridGeometry
+
+
+@dataclasses.dataclass
+class AMRModel:
+    """Two-level model wrapper around an RTModel's tables/config."""
+    rt: "object"                      # core.step.RTModel
+    plan: sweep_amr.AMRSweepPlan | None
+
+    @classmethod
+    def setup(cls, rt_model) -> "AMRModel":
+        plan = None
+        if rt_model.config.run_uvb_transfer:
+            plan = sweep_amr.build_amr_sweep_plan(
+                rt_model.config.n_angular_level, rt_model.geom.nx)
+        return cls(rt=rt_model, plan=plan)
+
+    @property
+    def fine_geom(self) -> GridGeometry:
+        g = self.rt.geom
+        return GridGeometry(2 * g.nx, 2 * g.ny, 2 * g.nz, g.physical_box_size)
+
+    def step(self, state: amr.AMRState, stellar=None):
+        """One iteration; returns (state, diag_or_None)."""
+        rt = self.rt
+        cfg = rt.config
+        base = state.base.zero_rates()
+        fine = state.fine.zero_rates()
+        state = dataclasses.replace(state, base=base, fine=fine)
+        diag = None
+
+        if cfg.run_stellar_transfer and stellar is not None:
+            rfb, rff, diag = rays_amr.trace_point_sources_amr(
+                state, rt.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.base.rho.dtype)
+            bs, fs = state.base.shape, state.fine.shape
+            # fine deposits were built with base-volume-scaled tables; fine
+            # cells have 1/8 the volume
+            state = dataclasses.replace(
+                state,
+                base=dataclasses.replace(
+                    state.base,
+                    krate24=rfb.krate24.reshape(bs),
+                    krate25=rfb.krate25.reshape(bs),
+                    krate26=rfb.krate26.reshape(bs),
+                    crate24=rfb.crate24.reshape(bs),
+                    crate25=rfb.crate25.reshape(bs),
+                    crate26=rfb.crate26.reshape(bs)),
+                fine=dataclasses.replace(
+                    state.fine,
+                    krate24=rff.krate24.reshape(fs) * 8.0,
+                    krate25=rff.krate25.reshape(fs) * 8.0,
+                    krate26=rff.krate26.reshape(fs) * 8.0,
+                    crate24=rff.crate24.reshape(fs) * 8.0,
+                    crate25=rff.crate25.reshape(fs) * 8.0,
+                    crate26=rff.crate26.reshape(fs) * 8.0))
+
+        if cfg.run_uvb_transfer:
+            kc = opacity.compute_opacities(state.base.HI, state.base.HeI,
+                                           state.base.HeII, rt.opacity_coef)
+            kf = opacity.compute_opacities(state.fine.HI, state.fine.HeI,
+                                           state.fine.HeII, rt.opacity_coef)
+            jc, jf = sweep_amr.diffuse_sweep_amr(
+                kc, kf, state.refined, self.plan,
+                jnp.asarray(rt.uvb, kc.dtype), rt.geom.cell_size)
+            state = dataclasses.replace(
+                state,
+                base=dataclasses.replace(state.base, Jmean=jc),
+                fine=dataclasses.replace(state.fine, Jmean=jf))
+
+        kwargs = dict(
+            ksi_matrix=rt.ksi_matrix, gamma_thin=rt.gamma_thin,
+            self_shielding_threshold=cfg.self_shielding_threshold,
+            run_uvb_transfer=cfg.run_uvb_transfer,
+            n_iter=110 if state.base.rho.dtype == jnp.float64 else 60)
+        new_base = chemistry.solve_rate_equations(state.base, rt.geom,
+                                                  rt.dev_tables, **kwargs)
+        new_fine = chemistry.solve_rate_equations(state.fine, self.fine_geom,
+                                                  rt.dev_tables, **kwargs)
+        state = dataclasses.replace(state, base=new_base, fine=new_fine)
+        state = amr.sync_restriction(state)
+        return state, diag
+
+    def make_step(self, stellar=None):
+        if stellar is None:
+            return jax.jit(lambda s: self.step(s)[0])
+        return lambda s: self.step(s, stellar)
+
+    def neutral_fraction(self, state: amr.AMRState) -> float:
+        """Leaf-volume-weighted neutral hydrogen fraction."""
+        r = state.refined
+        rf = amr.prolong_mask(r)
+        hi = (jnp.sum(jnp.where(r, 0.0, state.base.HI))
+              + jnp.sum(jnp.where(rf, state.fine.HI, 0.0)) / 8.0)
+        nh = (jnp.sum(jnp.where(r, 0.0, state.base.nh))
+              + jnp.sum(jnp.where(rf, state.fine.nh, 0.0)) / 8.0)
+        return float(hi / nh)

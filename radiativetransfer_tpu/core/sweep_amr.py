@@ -1,0 +1,355 @@
+"""Two-level AMR diffuse sweep.
+
+Extends the slab-pipeline sweep (core.sweep) to a nested grid, mirroring the
+reference's refined transport (transportRoutinesModule.f90:560-963,
+setRaysRefined :121-218):
+
+* The fine level sweeps its own 2n-slab template chain — the SAME ray family
+  as the base chain sampled at fine planes (setRaysRefined derives child
+  footpoints from the parent's, :151-187), so the fine chain starts from the
+  child-transformed base footpoint.
+* Per base slab i the fine sub-slabs 2i, 2i+1 and the coarse slab i advance
+  together; cross-level couplings follow the reference:
+  - a fine cell whose upwind neighbor is coarse copies that coarse cell's
+    face-exit output without interpolation (:637-648);
+  - a coarse cell whose upwind neighbor is refined reads the fine child leaf
+    selected by its ray footpoint (getXY/XZ/YZNeighbour descent, :455-558);
+  - when the feeding template has no segment exiting the face (tag 0), the
+    averaging fallback 0.5*(xy + side) applies (case(0), :618-634).
+* In-slab couplings across refinement boundaries can chain along the plane;
+  a fixed number of coupling passes (n_coupling_iters, Gauss-Seidel over
+  [fine 2i, fine 2i+1, coarse i]) resolves chains up to that depth — exact
+  for the reference's refinement patterns (longer chains need checkerboard
+  refinement along a slab's upwind diagonal).
+
+Base cells under refined parents receive no direct J (their children do);
+sync with amr.sync_restriction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import healpix, octants, patterns
+from ..geometry.patterns import SEG_XZ, TAG_XY, TAG_XZ, TAG_YZ
+from .sweep import _attenuate, _shift_j, _shift_k
+
+
+@dataclasses.dataclass(frozen=True)
+class AMRZoneBatch:
+    """Per-zone templates for both levels (one direction batch)."""
+    izone: int
+    ndir: int
+    coarse: dict      # arrays (ndir, n)
+    fine: dict        # arrays (ndir, 2n)
+
+
+@dataclasses.dataclass(frozen=True)
+class AMRSweepPlan:
+    zones: tuple[AMRZoneBatch, ...]
+    n_directions: int
+    nslab: int
+
+    @property
+    def weight(self) -> float:
+        return 1.0 / self.n_directions
+
+
+def _build_chain(phi, theta, nslab, x0=0.5, y0=0.5):
+    tmpl = []
+    for _ in range(nslab):
+        t = patterns.set_pattern(x0, y0, phi, theta)
+        tmpl.append(t)
+        x0, y0 = t.next_x0, t.next_y0
+    return tmpl
+
+
+def _chain_arrays(tmpl) -> dict:
+    g = lambda f, dt=np.float64: np.array([getattr(t, f) for t in tmpl],
+                                          dtype=dt)
+    return {
+        "len_xy": g("len_xy"), "len_xz": g("len_xz"), "len_yz": g("len_yz"),
+        "chain2": g("chain2", np.int8), "chain3": g("chain3", np.int8),
+        "n_active": g("n_active", np.int8),
+        "top_xy": g("top_xy", np.int8), "top_xz": g("top_xz", np.int8),
+        "top_yz": g("top_yz", np.int8),
+        "x0": g("x0"), "y0": g("y0"),
+        "xz_x0": g("xz_x0"), "xz_z0": g("xz_z0"),
+        "yz_y0": g("yz_y0"), "yz_z0": g("yz_z0"),
+    }
+
+
+def _child_start(x0: float, y0: float) -> tuple[float, float]:
+    """Fine-chain start footpoint from the base chain's slab-0 footpoint
+    (setRaysRefined, transportRoutinesModule.f90:151-160)."""
+    cx = 2 * x0 if x0 < 0.5 else 2 * x0 - 1.0
+    cy = 2 * y0 if y0 < 0.5 else 2 * y0 - 1.0
+    return cx, cy
+
+
+def build_amr_sweep_plan(n_angular_level: int, nx: int) -> AMRSweepPlan:
+    phi, theta = healpix.sweep_directions(n_angular_level)
+    folded = octants.fold_all(phi, theta)
+    groups = octants.group_by_zone(folded)
+    zones = []
+    for izone in sorted(groups):
+        ds = groups[izone]
+        coarse_list = [_chain_arrays(_build_chain(d.phi, d.theta, nx))
+                       for d in ds]
+        fine_list = [
+            _chain_arrays(_build_chain(d.phi, d.theta, 2 * nx,
+                                       *_child_start(0.5, 0.5)))
+            for d in ds]
+        coarse = {k: np.stack([c[k] for c in coarse_list])
+                  for k in coarse_list[0]}
+        fine = {k: np.stack([c[k] for c in fine_list]) for k in fine_list[0]}
+        zones.append(AMRZoneBatch(izone=izone, ndir=len(ds), coarse=coarse,
+                                  fine=fine))
+    return AMRSweepPlan(zones=tuple(zones), n_directions=len(folded), nslab=nx)
+
+
+def _prolong_plane(x):
+    """(D,3,ny,nz) -> (D,3,2ny,2nz) parent copy."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
+
+
+def _slab_params(params: dict, i, dtype):
+    out = {}
+    for k, v in params.items():
+        col = v[:, i]
+        out[k] = col.astype(dtype) if v.dtype.kind == "f" else col
+    return out
+
+
+def _segment_outputs(i_top_in, kappa_slab, sp, cell_size, side_j, side_k):
+    """All 3 chained segment outputs for one slab plane.
+
+    side_j / side_k: callables mapping a segment-output plane to the upwind
+    side-input plane (closures encode level coupling and boundaries).
+    """
+    dtype = i_top_in.dtype
+
+    def seg_tau(length):
+        return kappa_slab * (length * cell_size)[:, None, None, None]
+
+    i_out1, lm1 = _attenuate(i_top_in, seg_tau(sp["len_xy"]))
+
+    is2_xz = (sp["chain2"] == SEG_XZ)[:, None, None, None]
+    act2 = (sp["chain2"] != 0)[:, None, None, None]
+    i_in2 = jnp.where(is2_xz, side_j(i_out1), side_k(i_out1))
+    len2 = jnp.where(sp["chain2"] == SEG_XZ, sp["len_xz"], sp["len_yz"])
+    i_out2, lm2 = _attenuate(i_in2, seg_tau(len2))
+
+    is3_xz = (sp["chain3"] == SEG_XZ)[:, None, None, None]
+    act3 = (sp["chain3"] != 0)[:, None, None, None]
+    i_in3 = jnp.where(is3_xz, side_j(i_out2), side_k(i_out2))
+    len3 = jnp.where(sp["chain3"] == SEG_XZ, sp["len_xz"], sp["len_yz"])
+    i_out3, lm3 = _attenuate(i_in3, seg_tau(len3))
+
+    n_act = sp["n_active"].astype(dtype)[:, None, None, None]
+    j_slab = (lm1 + jnp.where(act2, lm2, 0.0) + jnp.where(act3, lm3, 0.0)) / n_act
+    top = jnp.where(n_act == 3, i_out3, jnp.where(n_act == 2, i_out2, i_out1))
+
+    out_xz = jnp.where(is2_xz, i_out2, i_out3)
+    out_yz = jnp.where(is2_xz, i_out3, i_out2)
+
+    def by_tag(tag):
+        # face-exit plane by per-slab tag; TAG_NONE -> case(0) averaging
+        # fallback 0.5*(xy + active side) (:618-634)
+        t = tag[:, None, None, None]
+        side_any = jnp.where(act2, i_out2, i_out1)
+        fallback = 0.5 * (i_out1 + side_any)
+        return jnp.where(t == TAG_XY, i_out1,
+                         jnp.where(t == TAG_XZ, out_xz,
+                                   jnp.where(t == TAG_YZ, out_yz, fallback)))
+
+    return {"top": top, "j_slab": j_slab,
+            "exit_jface": by_tag(sp["top_xz"]),
+            "exit_kface": by_tag(sp["top_yz"])}
+
+
+def sweep_zone_amr(kc_rot, kf_rot, refined_rot, zone: AMRZoneBatch, uvb,
+                   cell_size, weight, n_coupling_iters: int = 3):
+    """Sweep one zone over a two-level grid.
+
+    kc_rot: (n, 3, ny, nz); kf_rot: (2n, 3, 2ny, 2nz);
+    refined_rot: (n, ny, nz) bool.
+    Returns (jc_rot (n,3,ny,nz), jf_rot stacked as (n, 2, 3, 2ny, 2nz)).
+    """
+    n, _, ny, nz = kc_rot.shape
+    dtype = kc_rot.dtype
+    D = zone.ndir
+    uvb = jnp.asarray(uvb, dtype)
+    bc = lambda shape: jnp.broadcast_to(uvb[None, :, None, None], shape)
+    uvb_cell_c = bc((D, 3, ny, nz))
+    uvb_cell_f = bc((D, 3, 2 * ny, 2 * nz))
+    uvb_j_c, uvb_k_c = bc((D, 3, 1, nz)), bc((D, 3, ny, 1))
+    uvb_j_f, uvb_k_f = bc((D, 3, 1, 2 * nz)), bc((D, 3, 2 * ny, 1))
+
+    cp = {k: jnp.asarray(v) for k, v in zone.coarse.items()}
+    fp = {k: jnp.asarray(v) for k, v in zone.fine.items()}
+
+    def sel_child(plane_f, cj, ck):
+        """(D,3,2ny,2nz) fine plane -> (D,3,ny,nz): per-direction child
+        (cj, ck traced ints in {0,1})."""
+        f = plane_f.reshape(D, 3, ny, 2, nz, 2)
+        return jnp.stack([f[d, :, :, cj[d], :, ck[d]] for d in range(D)])
+
+    def shift_plane_j(x, pad):
+        return jnp.concatenate([pad, x[..., :-1, :]], axis=-2)
+
+    def shift_plane_k(x, pad):
+        return jnp.concatenate([pad, x[..., :, :-1]], axis=-1)
+
+    def body(carry, i):
+        ic_top, if_top, refined_below = carry
+        r_i = refined_rot[i]                                  # (ny, nz)
+        r_f = jnp.repeat(jnp.repeat(r_i, 2, 0), 2, 1)         # (2ny, 2nz)
+
+        spc = _slab_params(cp, i, dtype)
+        spf0 = _slab_params(fp, 2 * i, dtype)
+        spf1 = _slab_params(fp, 2 * i + 1, dtype)
+
+        kc_slab = kc_rot[i][None]
+        kf0 = kf_rot[2 * i][None]
+        kf1 = kf_rot[2 * i + 1][None]
+
+        # ---- xy (bottom-face) inputs, fixed for this slab ----
+        fine_below_ok = jnp.repeat(jnp.repeat(refined_below, 2, 0), 2, 1)
+        f0_xy_in = jnp.where(fine_below_ok[None, None], if_top,
+                             _prolong_plane(ic_top))
+        # coarse consumer picks the fine child under its xy footpoint
+        cjc = (spc["y0"] >= 0.5).astype(jnp.int32)    # y0 -> j-child
+        ckc = (spc["x0"] >= 0.5).astype(jnp.int32)    # x0 -> k-child
+        c_xy_in = jnp.where(refined_below[None, None],
+                            sel_child(if_top, cjc, ckc), ic_top)
+
+        # fine-neighbor validity for fine side reads
+        r_nb_j = shift_plane_j(r_f[None, None], jnp.zeros((1, 1, 1, 2 * nz), bool))[0, 0]
+        r_nb_k = shift_plane_k(r_f[None, None], jnp.zeros((1, 1, 2 * ny, 1), bool))[0, 0]
+        odd_j = (jnp.arange(2 * ny) % 2 == 1)[:, None]
+        odd_k = (jnp.arange(2 * nz) % 2 == 1)[None, :]
+        nb_fine_j = jnp.where(odd_j, r_f, r_nb_j)
+        nb_fine_k = jnp.where(odd_k, r_f, r_nb_k)
+        # coarse-neighbor refinement for coarse side reads
+        c_nb_ref_j = shift_plane_j(r_i[None, None], jnp.zeros((1, 1, 1, nz), bool))[0, 0]
+        c_nb_ref_k = shift_plane_k(r_i[None, None], jnp.zeros((1, 1, ny, 1), bool))[0, 0]
+
+        def fine_pass(xy_in, kf_slab, spf, c_est):
+            def side_j(x):
+                fine = _shift_j(x, uvb_j_f)
+                if c_est is None:
+                    return fine
+                coarse_exit = _prolong_plane(
+                    shift_plane_j(c_est["exit_jface"], uvb_j_c))
+                return jnp.where(nb_fine_j[None, None], fine, coarse_exit)
+
+            def side_k(x):
+                fine = _shift_k(x, uvb_k_f)
+                if c_est is None:
+                    return fine
+                coarse_exit = _prolong_plane(
+                    shift_plane_k(c_est["exit_kface"], uvb_k_c))
+                return jnp.where(nb_fine_k[None, None], fine, coarse_exit)
+
+            # fine segments are in fine-cell units: half the base size
+            # (transport recursion, transportRoutinesModule.f90:583)
+            return _segment_outputs(xy_in, kf_slab, spf, cell_size / 2.0,
+                                    side_j, side_k)
+
+        def coarse_pass(f0_est, f1_est):
+            def side_j(x):
+                base = _shift_j(x, uvb_j_c)
+                if f0_est is None:
+                    return base
+                # fine leaf by the xz-ray footpoint: z0 -> sub-slab,
+                # x0 -> k-child; j-child = 1 (the face-adjacent row)
+                sub_is_f1 = (spc["xz_z0"] >= 0.5)
+                ck = (spc["xz_x0"] >= 0.5).astype(jnp.int32)
+                ones = jnp.ones(D, jnp.int32)
+                leaf = jnp.where(
+                    sub_is_f1[:, None, None, None],
+                    sel_child(f1_est["exit_jface"], ones, ck),
+                    sel_child(f0_est["exit_jface"], ones, ck))
+                fine_exit = shift_plane_j(leaf, uvb_j_c)
+                return jnp.where(c_nb_ref_j[None, None], fine_exit, base)
+
+            def side_k(x):
+                base = _shift_k(x, uvb_k_c)
+                if f0_est is None:
+                    return base
+                sub_is_f1 = (spc["yz_z0"] >= 0.5)
+                cj = (spc["yz_y0"] >= 0.5).astype(jnp.int32)
+                ones = jnp.ones(D, jnp.int32)
+                leaf = jnp.where(
+                    sub_is_f1[:, None, None, None],
+                    sel_child(f1_est["exit_kface"], cj, ones),
+                    sel_child(f0_est["exit_kface"], cj, ones))
+                fine_exit = shift_plane_k(leaf, uvb_k_c)
+                return jnp.where(c_nb_ref_k[None, None], fine_exit, base)
+
+            return _segment_outputs(c_xy_in, kc_slab, spc, cell_size,
+                                    side_j, side_k)
+
+        # Gauss-Seidel coupling passes
+        f0 = f1 = c = None
+        for _ in range(n_coupling_iters):
+            f0 = fine_pass(f0_xy_in, kf0, spf0, c)
+            f1 = fine_pass(f0["top"], kf1, spf1, c)
+            c = coarse_pass(f0, f1)
+
+        ic_top_next = c["top"]
+        if_top_next = jnp.where(r_f[None, None], f1["top"],
+                                _prolong_plane(c["top"]))
+
+        jc = weight * jnp.sum(jnp.where(r_i[None, None], 0.0, c["j_slab"]),
+                              axis=0)
+        jf0 = weight * jnp.sum(jnp.where(r_f[None, None], f0["j_slab"], 0.0),
+                               axis=0)
+        jf1 = weight * jnp.sum(jnp.where(r_f[None, None], f1["j_slab"], 0.0),
+                               axis=0)
+        return (ic_top_next, if_top_next, r_i), (jc, jf0, jf1)
+
+    carry0 = (uvb_cell_c, uvb_cell_f, jnp.zeros((ny, nz), bool))
+    _, (jc, jf0, jf1) = jax.lax.scan(body, carry0, jnp.arange(n))
+    return jc, jf0, jf1
+
+
+def make_jitted_sweep_amr(plan: AMRSweepPlan, n_coupling_iters: int = 3):
+    """jit-compiled two-level sweep closed over a fixed plan."""
+    import jax as _jax
+    return _jax.jit(lambda kc, kf, refined, uvb, cell_size: diffuse_sweep_amr(
+        kc, kf, refined, plan, uvb, cell_size, n_coupling_iters))
+
+
+def diffuse_sweep_amr(kappa_c, kappa_f, refined, plan: AMRSweepPlan, uvb,
+                      cell_size, n_coupling_iters: int = 3):
+    """Full two-level sweep.
+
+    kappa_c: (3,n,n,n); kappa_f: (3,2n,2n,2n); refined: (n,n,n) bool.
+    Returns (Jmean_base (3,n,n,n), Jmean_fine (3,2n,2n,2n)); base J is zero
+    under refined parents (sync via amr.sync_restriction).
+    """
+    n = kappa_c.shape[1]
+    kc_l = jnp.moveaxis(kappa_c, 0, -1)
+    kf_l = jnp.moveaxis(kappa_f, 0, -1)
+    jc_acc = jnp.zeros_like(kc_l)
+    jf_acc = jnp.zeros_like(kf_l)
+    for zone in plan.zones:
+        kc_rot = jnp.moveaxis(octants.rotate_to_sweep(kc_l, zone.izone), -1, 1)
+        kf_rot = jnp.moveaxis(octants.rotate_to_sweep(kf_l, zone.izone), -1, 1)
+        r_rot = octants.rotate_to_sweep(refined, zone.izone)
+        jc, jf0, jf1 = sweep_zone_amr(kc_rot, kf_rot, r_rot, zone, uvb,
+                                      cell_size, plan.weight, n_coupling_iters)
+        # interleave sub-slabs back into the fine slab axis
+        ny, nz = jc.shape[-2], jc.shape[-1]
+        jf = jnp.stack([jf0, jf1], axis=1).reshape(2 * n, 3, 2 * ny, 2 * nz)
+        jc_acc = jc_acc + octants.rotate_from_sweep(jnp.moveaxis(jc, 1, -1),
+                                                    zone.izone)
+        jf_acc = jf_acc + octants.rotate_from_sweep(jnp.moveaxis(jf, 1, -1),
+                                                    zone.izone)
+    return jnp.moveaxis(jc_acc, -1, 0), jnp.moveaxis(jf_acc, -1, 0)

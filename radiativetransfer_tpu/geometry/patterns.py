@@ -58,6 +58,12 @@ class SlabTemplate:
     top_xy: int = TAG_NONE
     top_xz: int = TAG_NONE
     top_yz: int = TAG_NONE
+    # side-segment entry footpoints (xzRay %x0/%z0, yzRay %y0/%z0) for the
+    # AMR cross-level child selection; 0 when inactive
+    xz_x0: float = 0.0
+    xz_z0: float = 0.0
+    yz_y0: float = 0.0
+    yz_z0: float = 0.0
 
 
 def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
@@ -92,7 +98,8 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
             nxt_x0 = len_yz * cos_t * cos_p
             nxt_y0 = yz_y0 + len_yz * cos_t * sin_p
             return SlabTemplate(x0, y0, len_xy, 0.0, len_yz, SEG_YZ, SEG_NONE,
-                                2, nxt_x0, nxt_y0, TAG_YZ, TAG_NONE, TAG_XY)
+                                2, nxt_x0, nxt_y0, TAG_YZ, TAG_NONE, TAG_XY,
+                                0.0, 0.0, yz_y0, yz_z0)
         len_yz = tmpa2
         xz_x0 = (1.0 - yz_y0) / np.tan(phi)
         xz_z0 = yz_z0 + tmpa2 * sin_t
@@ -101,7 +108,8 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
         nxt_x0 = xz_x0 + len_xz * cos_t * cos_p
         nxt_y0 = len_xz * cos_t * sin_p
         return SlabTemplate(x0, y0, len_xy, len_xz, len_yz, SEG_YZ, SEG_XZ, 3,
-                            nxt_x0, nxt_y0, TAG_XZ, TAG_YZ, TAG_XY)
+                            nxt_x0, nxt_y0, TAG_XZ, TAG_YZ, TAG_XY,
+                            xz_x0, xz_z0, yz_y0, yz_z0)
 
     # xy exits the y=1 face -> chain continues as an xz segment
     len_xy = tmp3
@@ -115,7 +123,8 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
         nxt_x0 = xz_x0 + len_xz * cos_t * cos_p
         nxt_y0 = len_xz * cos_t * sin_p
         return SlabTemplate(x0, y0, len_xy, len_xz, 0.0, SEG_XZ, SEG_NONE, 2,
-                            nxt_x0, nxt_y0, TAG_XZ, TAG_XY, TAG_NONE)
+                            nxt_x0, nxt_y0, TAG_XZ, TAG_XY, TAG_NONE,
+                            xz_x0, xz_z0, 0.0, 0.0)
     len_xz = tmpb2
     yz_y0 = (1.0 - xz_x0) * np.tan(phi)
     yz_z0 = xz_z0 + len_xz * sin_t
@@ -124,7 +133,8 @@ def set_pattern(x0: float, y0: float, phi: float, theta: float) -> SlabTemplate:
     nxt_x0 = len_yz * cos_t * cos_p
     nxt_y0 = yz_y0 + len_yz * cos_t * sin_p
     return SlabTemplate(x0, y0, len_xy, len_xz, len_yz, SEG_XZ, SEG_YZ, 3,
-                        nxt_x0, nxt_y0, TAG_YZ, TAG_XY, TAG_XZ)
+                        nxt_x0, nxt_y0, TAG_YZ, TAG_XY, TAG_XZ,
+                        xz_x0, xz_z0, yz_y0, yz_z0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,6 +84,91 @@ def read_snapshot(path: str, state: FieldState) -> tuple[FieldState, int]:
                                tgas=tgas), itime
 
 
+def write_snapshot_amr(path: str, state, itime: int,
+                       physical_box_size: float) -> None:
+    """Write a two-level AMRState in depth-first cellArray leaf order
+    (writeIonization on an AMR octree, equiSources.f90:4797-4912)."""
+    from . import sfc
+    n = state.n
+    refined_np = np.asarray(state.refined, np.uint8)
+    enum = sfc.enumerate_leaves(n, n, n, [refined_np])
+
+    def leaves(base_f, fine_f):
+        return sfc.gather_leaves(enum, [np.asarray(base_f, np.float64),
+                                        np.asarray(fine_f, np.float64)])
+
+    data = {
+        "base_grid_size": np.array(state.base.shape, np.int32),
+        "itime": np.int32(itime),
+        "physical_box_size": np.float64(physical_box_size),
+        "refined": refined_np,
+        "level": enum["level"].astype(np.int32),
+        "HI": leaves(state.base.HI, state.fine.HI).astype(np.float32),
+        "HeI": leaves(state.base.HeI, state.fine.HeI).astype(np.float32),
+        "HeII": leaves(state.base.HeII, state.fine.HeII).astype(np.float32),
+        "temperature": leaves(state.base.tgas, state.fine.tgas).astype(np.float32),
+        "density": leaves(state.base.rho, state.fine.rho).astype(np.float32),
+        "abun2": leaves(state.base.abun2, state.fine.abun2).astype(np.float32),
+    }
+    np.savez_compressed(path, **data)
+
+
+def read_snapshot_amr(path: str, state) -> tuple["object", int]:
+    """Re-inflate an AMR snapshot onto an existing AMRState (restart),
+    with the reference's species clamps."""
+    import jax.numpy as jnp
+
+    from ..core import amr as amr_mod
+    from . import sfc
+    n = state.n
+    with np.load(path) as f:
+        itime = int(f["itime"])
+        refined_np = f["refined"]
+        if not np.array_equal(refined_np.astype(bool),
+                              np.asarray(state.refined)):
+            raise ValueError("snapshot refinement map differs from the state "
+                             "(the reference rebuilds structure from the "
+                             "input grid and asserts the cell count, "
+                             "equiSources.f90:1124-1127)")
+        enum = sfc.enumerate_leaves(n, n, n, [refined_np])
+        shapes = [state.base.shape, state.fine.shape]
+
+        def fields(key):
+            vals = f[key].astype(np.float64)
+            return sfc.scatter_leaves(enum, vals, shapes)
+
+        hi_b, hi_f = fields("HI")
+        hei_b, hei_f = fields("HeI")
+        heii_b, heii_f = fields("HeII")
+        t_b, t_f = fields("temperature")
+
+    def clamp(st, hi, hei, heii, tg):
+        dt = st.HI.dtype
+        nh, nhe = st.nh, st.nhe
+        hi = jnp.clip(jnp.asarray(hi, dt), 0.0, nh)
+        hei = jnp.maximum(jnp.asarray(hei, dt), 0.0)
+        heii = jnp.maximum(jnp.asarray(heii, dt), 0.0)
+        tot = hei + heii
+        scale = jnp.where(tot > nhe, nhe / jnp.where(tot > 0, tot, 1.0), 1.0)
+        return dataclasses.replace(st, HI=hi, HeI=hei * scale,
+                                   HeII=heii * scale,
+                                   tgas=jnp.asarray(tg, dt))
+
+    new_base = clamp(state.base, hi_b, hei_b, heii_b, t_b)
+    new_fine = clamp(state.fine, hi_f, hei_f, heii_f, t_f)
+    # fine positions without leaves got zeros from the scatter: fill by
+    # prolongation so the dense fine fields stay everywhere defined
+    rf = amr_mod.prolong_mask(state.refined)
+    new_fine = dataclasses.replace(
+        new_fine,
+        HI=jnp.where(rf, new_fine.HI, amr_mod.prolong(new_base.HI)),
+        HeI=jnp.where(rf, new_fine.HeI, amr_mod.prolong(new_base.HeI)),
+        HeII=jnp.where(rf, new_fine.HeII, amr_mod.prolong(new_base.HeII)),
+        tgas=jnp.where(rf, new_fine.tgas, amr_mod.prolong(new_base.tgas)))
+    state = dataclasses.replace(state, base=new_base, fine=new_fine)
+    return amr_mod.sync_restriction(state), itime
+
+
 def latest_snapshot(directory: str = ".") -> str | None:
     """Most recent cellArrayNNNN snapshot in a directory."""
     best, best_i = None, -1

@@ -37,23 +37,60 @@ def read_star_file(path: str, box_lo: np.ndarray, box_hi: np.ndarray) -> StarLis
 
 def prepare_sources(stars: StarList, n: int, upper_age_limit: float,
                     abun2: np.ndarray | None = None,
-                    metal_bucket_edges: np.ndarray | None = None
+                    metal_bucket_edges: np.ndarray | None = None,
+                    refined: np.ndarray | None = None
                     ) -> tuple[SourceBatch, np.ndarray, int]:
     """Age-filter, host-cell localize, and merge degenerate particles.
 
-    Sources are placed at their HOST-CELL CENTERS (the reference launches
-    rays from startingPoint=(0.5,0.5,0.5) in host-cell units,
-    equiSources.f90:1272-1274).
+    Sources are placed at their FINEST-LEAF CENTERS (the reference descends
+    to the star's leaf and launches rays from startingPoint=(0.5,0.5,0.5)
+    in that cell's units, equiSources.f90:753-758, 1272-1280).  With a
+    two-level `refined` bitmap, stars in refined base cells localize to
+    their fine leaf.
 
-    Returns (SourceBatch, host_cell_index (S,3), n_stars_specific_age).
-    table_idx buckets sources by host-cell metallicity when
-    metal_bucket_edges is given (the TPU analog of the per-source
-    stellarBetaTable rebuild: sources sharing a bucket share a table).
+    Returns (SourceBatch, host_cell_index (S,3) at base level,
+    n_stars_specific_age).  table_idx buckets sources by host-cell
+    metallicity when metal_bucket_edges is given (the TPU analog of the
+    per-source stellarBetaTable rebuild: sources sharing a bucket share a
+    table).
     """
     young = stars.age <= upper_age_limit
     n_young = int(np.sum(young))
     pos = stars.position[young]
     cell = np.clip((pos * n).astype(np.int64), 0, n - 1)
+    if refined is not None:
+        # dedup by finest leaf: fine cells inside refined parents
+        refined = np.asarray(refined, bool)
+        in_fine = refined[cell[:, 0], cell[:, 1], cell[:, 2]]
+        n2 = 2 * n
+        fcell = np.clip((pos * n2).astype(np.int64), 0, n2 - 1)
+        # unique key: base leaves get even fine indices via 2*cell; tag the
+        # level in the high bit of the key
+        key = np.where(
+            in_fine,
+            ((fcell[:, 0] * n2 + fcell[:, 1]) * n2 + fcell[:, 2]) + n ** 3,
+            (cell[:, 0] * n + cell[:, 1]) * n + cell[:, 2])
+        uniq, counts = np.unique(key, return_counts=True)
+        is_fine_u = uniq >= n ** 3
+        centers = np.empty((len(uniq), 3))
+        host = np.empty((len(uniq), 3), np.int64)
+        fu = uniq - n ** 3
+        fidx = np.stack([fu // (n2 * n2), (fu // n2) % n2, fu % n2], axis=1)
+        bidx = np.stack([uniq // (n * n), (uniq // n) % n, uniq % n], axis=1)
+        centers = np.where(is_fine_u[:, None], (fidx + 0.5) / n2,
+                           (bidx + 0.5) / n)
+        host = np.where(is_fine_u[:, None], fidx >> 1, bidx)
+        if metal_bucket_edges is not None and abun2 is not None:
+            z = abun2[host[:, 0], host[:, 1], host[:, 2]]
+            tidx = np.clip(np.searchsorted(metal_bucket_edges, z) - 1, 0,
+                           len(metal_bucket_edges) - 2).astype(np.int32)
+        else:
+            tidx = np.zeros(len(uniq), np.int32)
+        batch = SourceBatch(position=centers.astype(np.float64),
+                            weight=counts.astype(np.float64),
+                            table_idx=tidx)
+        return batch, host, n_young
+
     flat = (cell[:, 0] * n + cell[:, 1]) * n + cell[:, 2]
 
     uniq, inverse, counts = np.unique(flat, return_inverse=True,
