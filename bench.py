@@ -13,6 +13,9 @@ Environment knobs:
   BENCH_N       grid size per side (default 256)
   BENCH_LEVEL   angular level (default 3 -> 192 directions)
   BENCH_REPS    timed repetitions (default 3)
+  BENCH_IMPL    pallas | xla (default: pallas on TPU)
+  BENCH_KIND    sweep (default, the headline metric) | rays
+                (point-source tracer throughput in ray-segments/s)
 """
 
 from __future__ import annotations
@@ -27,12 +30,77 @@ import numpy as np
 TARGET_CELLS_ANGLES_PER_S = 1.0e9
 
 
+def bench_rays() -> None:
+    """Point-source tracer throughput: S sources at maxPixelLevel 6 on a
+    BENCH_N^3 grid (12288 rays/source at the final phase)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radiativetransfer_tpu.constants import KPC
+    from radiativetransfer_tpu.core import rays
+    from radiativetransfer_tpu.core.state import GridGeometry, uniform_state
+    from radiativetransfer_tpu.tables import stellar
+
+    platform = jax.devices()[0].platform
+    n = int(os.environ.get("BENCH_N", "128"))
+    n_src = int(os.environ.get("BENCH_SOURCES", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    if platform == "cpu" and "BENCH_N" not in os.environ:
+        n, n_src = 32, 2
+
+    pop = stellar.blackbody_population(q_ionizing=1.0e51)
+    t = stellar.build_source_tables(pop, 0, 0.0, 0, 0.0)
+    tables = {"reaction_log": jnp.asarray(t.reaction_log, jnp.float32)[None],
+              "energy_log": jnp.asarray(t.energy_log, jnp.float32)[None],
+              "output_freq": t.output_freq,
+              "output_sigma24": t.output_sigma24,
+              "output_sigma25": t.output_sigma25,
+              "output_sigma26": t.output_sigma26,
+              "output_sigma_dust": t.output_sigma_dust}
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0.3, 0.7, (n_src, 3))
+    pos = (np.floor(pos * n) + 0.5) / n
+    src = rays.SourceBatch(position=pos, weight=np.ones(n_src),
+                           table_idx=np.zeros(n_src, np.int32))
+    geom = GridGeometry(n, n, n, 2000.0 * KPC)
+    state = uniform_state(n, nh=2e-4, tgas=1.5e4, dtype=jnp.float32)
+
+    def run():
+        rf, diag = rays.trace_point_sources(state, geom, src, tables,
+                                            max_pixel_level=6,
+                                            dtype=jnp.float32)
+        return float(jnp.sum(rf.krate24))
+
+    run()  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    # rays at the final level dominate; count total ray-phase slots
+    total_rays = n_src * sum(12 * 4 ** (l - 1) for l in range(1, 7))
+    value = total_rays / dt
+    print(json.dumps({
+        "metric": f"point-source rays/s ({n}^3 grid, {n_src} sources, "
+                  f"maxPixelLevel 6, {platform})",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": value / 1.0e6,
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from radiativetransfer_tpu.constants import KPC
     from radiativetransfer_tpu.core import sweep
+
+    if os.environ.get("BENCH_KIND", "sweep") == "rays":
+        bench_rays()
+        return
 
     n = int(os.environ.get("BENCH_N", "256"))
     level = int(os.environ.get("BENCH_LEVEL", "3"))

@@ -38,6 +38,10 @@ def main(argv=None):
                     help="override nAngularLevel (12*4^(L-1) directions)")
     ap.add_argument("--max-pixel-level", type=int, default=0,
                     help="override the point-source ray-splitting depth")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax debug_nans (SURVEY.md 5.2 rebuild)")
+    ap.add_argument("--dump-rates", action="store_true",
+                    help="write rates.out / cool_rates.out like the reference")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,6 +49,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from .config import (MODE_CLUMPING_FACTOR, MODE_INITIAL_CONFIGURATION,
@@ -114,6 +120,13 @@ def main(argv=None):
             refined=np.asarray(amr_state.refined) if use_amr else None)
         print(f"nStars/specificAge/non-degenerate = {len(stars.age)} "
               f"{n_young} {batch.n_sources}")
+        # the reference's `weight` file (equiSources.f90:1214-1224)
+        ab2 = np.asarray(state.abun2)
+        with open(os.path.join(args.snapshot_dir, "weight"), "w") as fh:
+            for i in range(batch.n_sources):
+                hz = ab2[host[i, 0], host[i, 1], host[i, 2]]
+                fh.write(f"{i + 1:10d} ==>  {int(batch.weight[i]):10d}"
+                         f"{hz:16.4e}\n")
 
         if cfg.mode == MODE_PLOT_PDFS:
             host_rho = np.asarray(state.rho)[host[:, 0], host[:, 1], host[:, 2]]
@@ -131,6 +144,12 @@ def main(argv=None):
 
     # ---- model + iteration loop ----------------------------------------
     model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
+    if args.dump_rates:
+        from .tables.chemistry_rates import dump_rates
+        dump_rates(model.tables,
+                   os.path.join(args.snapshot_dir, "rates.out"),
+                   os.path.join(args.snapshot_dir, "cool_rates.out"))
+        print("wrote rates.out, cool_rates.out")
     if use_amr:
         import dataclasses as dc
 
@@ -180,7 +199,10 @@ def main(argv=None):
             state, diag = out if isinstance(out, tuple) else (out, None)
             nf = model.neutral_fraction(state)
         tlog.append(itime, nf)
-        msg = f"itime={itime} neutral={nf:.8f} dt={time.time() - t0:.2f}s"
+        dt_it = time.time() - t0
+        throughput = geom.nx ** 3 * cfg.n_directions / max(dt_it, 1e-9)
+        msg = (f"itime={itime} neutral={nf:.8f} dt={dt_it:.2f}s "
+               f"({throughput:.2e} cells*angles/s)")
         if diag is not None:
             from .core.rays import cosmic_spectrum, escape_fractions
             frac = escape_fractions(diag, stellar_ctx.sources.weight)

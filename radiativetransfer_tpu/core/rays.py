@@ -298,7 +298,15 @@ def _interp_bucketed(reaction_log, energy_log, table_idx, depths, dust_on):
     else:
         i4, c4 = jnp.zeros_like(i1), jnp.zeros_like(c1)
 
+    # flatten the 4-D corner indices to ONE gather index per corner: a
+    # single-axis gather lowers to a fast path on TPU, while the 5-axis
+    # advanced-indexing form produced a pathologically slow scatter-gather
+    n1, n2_, n3, n4 = NDEPTH1 + 1, NDEPTH2 + 1, NDEPTH3 + 1, NDEPTH_DUST + 1
+    B = reaction_log.shape[0]
+    base_flat = table_idx * (n1 * n2_ * n3 * n4)
+
     def quad(table):
+        t = table.reshape(B * n1 * n2_ * n3 * n4, 3)
         acc = 0.0
         for d1 in (0, 1):
             w1 = c1 if d1 else (1.0 - c1)
@@ -308,12 +316,17 @@ def _interp_bucketed(reaction_log, energy_log, table_idx, depths, dust_on):
                     w3 = c3 if d3 else (1.0 - c3)
                     for d4 in (0, 1):
                         w4 = c4 if d4 else (1.0 - c4)
-                        v = table[table_idx, :, i1 + d1, i2 + d2, i3 + d3, i4 + d4]
-                        acc = acc + (w1 * w2 * w3 * w4)[:, None] * v
+                        f = (((i1 + d1) * n2_ + (i2 + d2)) * n3
+                             + (i3 + d3)) * n4 + (i4 + d4) + base_flat
+                        acc = acc + (w1 * w2 * w3 * w4)[:, None] * t[f]
         return jnp.exp(acc)
 
     live = jnp.where(oor, 0.0, 1.0)[:, None]
-    return quad(reaction_log) * live, quad(energy_log) * live
+    # tables are stored (B, 3, n1, n2, n3, n4); move the band axis last so
+    # the flattened gather picks 3 contiguous values per corner
+    r_t = jnp.moveaxis(reaction_log, 1, -1)
+    e_t = jnp.moveaxis(energy_log, 1, -1)
+    return quad(r_t) * live, quad(e_t) * live
 
 
 def _spawn_phase(sources: SourceBatch, level: int, dtype) -> _RayState:

@@ -393,6 +393,26 @@ def calc_rates(nratec: int = NRATEC, temstart: float = TEMSTART,
     )
 
 
+def dump_rates(tables: "ChemistryTables", rates_path: str = "rates.out",
+               cool_path: str = "cool_rates.out") -> None:
+    """Write the rate/cooling tables for offline inspection, matching the
+    reference's dumps (calc_rates.f:735-756)."""
+    T = tables.T
+    with open(cool_path, "w") as fh:
+        for i in range(len(T)):
+            row = [T[i], tables.ceHI[i], tables.ceHeI[i], tables.ceHeII[i],
+                   tables.ciHI[i], tables.ciHeI[i], tables.ciHeIS[i],
+                   tables.ciHeII[i], tables.reHII[i], tables.reHeII1[i],
+                   tables.reHeII2[i], tables.reHeIII[i], tables.brem[i],
+                   tables.compa]
+            fh.write(" ".join(f"{v:10.3e}" for v in row) + "\n")
+    with open(rates_path, "w") as fh:
+        ks = [f"k{j}" for j in list(range(1, 20)) + [22]]
+        for i in range(len(T)):
+            row = [T[i]] + [tables.k[k][i] for k in ks]
+            fh.write(" ".join(f"{v:10.3e}" for v in row) + "\n")
+
+
 def interp_log_t(table: np.ndarray, logtem, xp=np):
     """Linear interpolation of a rate table in log(T).
 
