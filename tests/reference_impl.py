@@ -169,3 +169,155 @@ def solve_rate_equations_serial(nh, nhe, tgas, krate24, krate25, krate26,
     HII = nh / (1.0 + k2 * de / (k1 * de + krate24))
     HI = k2 * HII * de / (k1 * de + krate24)
     return HI, HeI, HeII, de
+
+
+def serial_sweep_two_level(kappa_c: np.ndarray, kappa_f: np.ndarray,
+                           refined: np.ndarray, n_angular_level: int,
+                           uvb: np.ndarray, cell_size: float,
+                           directions=None):
+    """Serial two-level sweep oracle.
+
+    Direct port of the reference's recursive refined transport order
+    (equiSources.f90:1572-1796 + transportRoutinesModule.f90:560-963):
+    coarse cells in rotated (i,j,k) order; refined cells recurse into their
+    2x2x2 children in rotated sub-order; cross-level reads follow the
+    getXY/XZ/YZNeighbour footpoint descent and the xyTop/xzTop/yzTop tag
+    dispatch, with the case(0) averaging fallback.
+
+    Returns (Jmean_base, Jmean_fine) like diffuse_sweep_amr.
+    """
+    from radiativetransfer_tpu.core.sweep_amr import _build_chain, _child_start
+    from radiativetransfer_tpu.geometry.patterns import (TAG_NONE, TAG_XY,
+                                                         TAG_XZ, TAG_YZ)
+
+    nb, n, ny, nz = kappa_c.shape
+    ndir = 12 * 4 ** (n_angular_level - 1)
+    weight = 1.0 / ndir
+    phi_all, theta_all = healpix.sweep_directions(n_angular_level)
+    if directions is None:
+        directions = range(ndir)
+
+    jc = np.zeros_like(kappa_c)
+    jf = np.zeros_like(kappa_f)
+
+    for iray in directions:
+        d = octants.fold_direction(phi_all[iray], theta_all[iray])
+        tc = _build_chain(d.phi, d.theta, n)
+        tf = _build_chain(d.phi, d.theta, 2 * n, *_child_start(0.5, 0.5))
+        kc_rot = np.moveaxis(octants.rotate_to_sweep(
+            np.moveaxis(kappa_c, 0, -1), d.izone), -1, 0)
+        kf_rot = np.moveaxis(octants.rotate_to_sweep(
+            np.moveaxis(kappa_f, 0, -1), d.izone), -1, 0)
+        r_rot = octants.rotate_to_sweep(refined, d.izone)
+
+        # per-cell per-segment outputs: [level][seg][cell] -> (3,)
+        out_c = {s: np.zeros((n, n, n, nb)) for s in ("xy", "xz", "yz")}
+        out_f = {s: np.zeros((2 * n, 2 * n, 2 * n, nb)) for s in ("xy", "xz", "yz")}
+        jrot_c = np.zeros((n, n, n, nb))
+        jrot_f = np.zeros((2 * n, 2 * n, 2 * n, nb))
+
+        def tag_out(level, tmpl, idx):
+            """Face-exit value by tag with the case(0) averaging fallback."""
+            out = out_c if level == 0 else out_f
+
+            def sel(tag):
+                if tag == TAG_XY:
+                    return out["xy"][idx]
+                if tag == TAG_XZ:
+                    return out["xz"][idx]
+                if tag == TAG_YZ:
+                    return out["yz"][idx]
+                side = out["xz"][idx] if tmpl.len_xz > 0 else (
+                    out["yz"][idx] if tmpl.len_yz > 0 else out["xy"][idx])
+                return 0.5 * (out["xy"][idx] + side)
+            return sel
+
+        def transport_cell(level, idx, tmpl, kap, csize):
+            i, j, k = idx
+            nmax = n if level == 0 else 2 * n
+            jacc = np.zeros(nb)
+            nact = 0
+
+            def upwind(axis, face_footpoints):
+                """Face-input for the segment entering through `axis`
+                (0: bottom/xy, 1: j-/xz, 2: k-/yz)."""
+                up = [i, j, k]
+                up[axis] -= 1
+                if up[axis] < 0:
+                    return uvb.copy()
+                if level == 0:
+                    up_refined = r_rot[up[0], up[1], up[2]]
+                    if not up_refined:
+                        t_up = tc[up[0]]
+                        tag = (t_up.top_xy, t_up.top_xz, t_up.top_yz)[axis]
+                        return tag_out(0, t_up, tuple(up))(tag)
+                    # descend into the fine children by MY footpoint
+                    fx, fy = face_footpoints
+                    if axis == 0:      # xy: (x0,y0); top sub-slab, children
+                        fi = 2 * up[0] + 1
+                        fj = 2 * up[1] + (1 if fy >= 0.5 else 0)
+                        fk = 2 * up[2] + (1 if fx >= 0.5 else 0)
+                    elif axis == 1:    # xz: (x0,z0); face-adjacent j child
+                        x0, z0 = face_footpoints
+                        fi = 2 * up[0] + (1 if z0 >= 0.5 else 0)
+                        fj = 2 * up[1] + 1
+                        fk = 2 * up[2] + (1 if x0 >= 0.5 else 0)
+                    else:              # yz: (y0,z0)
+                        y0, z0 = face_footpoints
+                        fi = 2 * up[0] + (1 if z0 >= 0.5 else 0)
+                        fj = 2 * up[1] + (1 if y0 >= 0.5 else 0)
+                        fk = 2 * up[2] + 1
+                    t_up = tf[fi]
+                    tag = (t_up.top_xy, t_up.top_xz, t_up.top_yz)[axis]
+                    return tag_out(1, t_up, (fi, fj, fk))(tag)
+                # fine level: the upwind neighbor is fine iff its parent is
+                # refined; otherwise copy the coarse neighbor's exit
+                pu = [u // 2 for u in up]
+                if r_rot[pu[0], pu[1], pu[2]]:
+                    t_up = tf[up[0]]
+                    tag = (t_up.top_xy, t_up.top_xz, t_up.top_yz)[axis]
+                    return tag_out(1, t_up, tuple(up))(tag)
+                t_up = tc[pu[0]]
+                tag = (t_up.top_xy, t_up.top_xz, t_up.top_yz)[axis]
+                return tag_out(0, t_up, tuple(pu))(tag)
+
+            out = out_c if level == 0 else out_f
+            # xy segment
+            i_in = upwind(0, (tmpl.x0, tmpl.y0))
+            i_outv, lm = _segment(i_in, kap, tmpl.len_xy, csize)
+            out["xy"][i, j, k] = i_outv
+            jacc += lm
+            nact += 1
+            if tmpl.len_xz > 0:
+                i_in = upwind(1, (tmpl.xz_x0, tmpl.xz_z0))
+                i_outv, lm = _segment(i_in, kap, tmpl.len_xz, csize)
+                out["xz"][i, j, k] = i_outv
+                jacc += lm
+                nact += 1
+            if tmpl.len_yz > 0:
+                i_in = upwind(2, (tmpl.yz_y0, tmpl.yz_z0))
+                i_outv, lm = _segment(i_in, kap, tmpl.len_yz, csize)
+                out["yz"][i, j, k] = i_outv
+                jacc += lm
+                nact += 1
+            (jrot_c if level == 0 else jrot_f)[i, j, k] += jacc / nact * weight
+
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    if r_rot[i, j, k]:
+                        for di in range(2):
+                            for dj in range(2):
+                                for dk in range(2):
+                                    fi, fj, fk = 2 * i + di, 2 * j + dj, 2 * k + dk
+                                    transport_cell(
+                                        1, (fi, fj, fk), tf[fi],
+                                        kf_rot[:, fi, fj, fk], cell_size / 2)
+                    else:
+                        transport_cell(0, (i, j, k), tc[i],
+                                       kc_rot[:, i, j, k], cell_size)
+
+        jc += np.moveaxis(octants.rotate_from_sweep(jrot_c, d.izone), -1, 0)
+        jf += np.moveaxis(octants.rotate_from_sweep(jrot_f, d.izone), -1, 0)
+
+    return jc, jf

@@ -98,3 +98,30 @@ class TestDegenerateLimits:
             assert float(jnp.max(jc[b])) <= val * (1 + 1e-9)
             assert float(jnp.max(jf[b])) <= val * (1 + 1e-9)
             assert float(jnp.min(jc[b])) >= 0.0
+
+
+class TestSerialOracle:
+    def test_matches_serial_two_level_oracle(self, plans):
+        """Vectorized AMR sweep vs the direct serial port of the reference's
+        recursive transport order, random refinement map."""
+        import sys
+        sys.path.insert(0, "tests")
+        from reference_impl import serial_sweep_two_level
+
+        plan_u, plan_a, n, run_u, run_a = plans
+        kc, kf, cell = _kappas(n, tau=0.6, seed=11)
+        uvb = np.array([1.0, 0.5, 0.25])
+        rng = np.random.default_rng(7)
+        refined = rng.random((n, n, n)) < 0.3
+
+        jc_s, jf_s = serial_sweep_two_level(np.asarray(kc), np.asarray(kf),
+                                            refined, 1, uvb, cell)
+        jc_v, jf_v = run_a(kc, kf, jnp.asarray(refined), uvb, cell)
+        jc_v, jf_v = np.asarray(jc_v), np.asarray(jf_v)
+
+        mask_c = ~refined
+        np.testing.assert_allclose(jc_v[:, mask_c], jc_s[:, mask_c],
+                                   rtol=1e-9, atol=1e-13)
+        ref_f = np.repeat(np.repeat(np.repeat(refined, 2, 0), 2, 1), 2, 2)
+        np.testing.assert_allclose(jf_v[:, ref_f], jf_s[:, ref_f],
+                                   rtol=1e-9, atol=1e-13)
