@@ -137,10 +137,10 @@ class TestStromgrenSphere:
         vol = geom.cell_volume
 
         HI = state.HI
-        for it in range(25):
+        for it in range(12):
             st = dataclasses.replace(state, HI=HI)
             rf, diag = rays.trace_point_sources(st, geom, src, tables,
-                                                max_pixel_level=6)
+                                                max_pixel_level=5)
             g24 = jnp.where(HI > 0,
                             rf.krate24.reshape(n, n, n) / (vol * jnp.where(HI > 0, HI, 1.0)),
                             0.0)
