@@ -234,3 +234,30 @@ class TestConfig:
         config_mod.save_config(cfg, p)
         back = config_mod.load_config(p)
         assert back == cfg
+
+
+class TestExpansion:
+    def test_expansion_parameters_at_table_nodes(self):
+        from radiativetransfer_tpu.constants import PC
+        from radiativetransfer_tpu.core import expansion
+        # at log nH = 1.0 (table node 4): radius 10**2.37683 pc,
+        # coefficient 10**0.831870 / 10 (equiSources.f90:4406-4408)
+        r, c = expansion.expansion_parameters(10.0)
+        assert r == pytest.approx(10 ** 2.37683 * PC, rel=1e-5)
+        assert c == pytest.approx(10 ** 0.831870 / 10.0, rel=1e-5)
+
+    def test_apply_expansion_reduces_density_near_source(self):
+        import dataclasses
+
+        from radiativetransfer_tpu.core import expansion
+        n = 8
+        geom = GridGeometry(n, n, n, 2.0 * KPC)  # small box so radius covers
+        state = uniform_state(n, nh=10.0, tgas=1e4, dtype=jnp.float64)
+        out = expansion.apply_expansion(state, geom,
+                                        np.array([[0.5, 0.5, 0.5]]))
+        c = n // 2
+        assert float(out.rho[c, c, c]) < float(state.rho[c, c, c])
+        # species scale with the density
+        ratio = float(out.HI[c, c, c] / state.HI[c, c, c])
+        assert ratio == pytest.approx(
+            float(out.rho[c, c, c] / state.rho[c, c, c]), rel=1e-12)
