@@ -135,8 +135,18 @@ def main() -> None:
         # early through the axon relay
         return float(jnp.sum(x))
 
-    # compile + warm up
-    sync(run(kappa, uvb, cell))
+    # compile + warm up; on a flaky remote worker fall back to the XLA sweep
+    try:
+        sync(run(kappa, uvb, cell))
+    except Exception as e:  # pragma: no cover - remote-worker resilience
+        if impl == "pallas":
+            print(f"note: pallas sweep failed ({type(e).__name__}); "
+                  f"falling back to xla", file=sys.stderr)
+            impl = "xla"
+            run = sweep.make_jitted_sweep(plan)
+            sync(run(kappa, uvb, cell))
+        else:
+            raise
 
     times = []
     for _ in range(reps):

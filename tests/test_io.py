@@ -261,3 +261,52 @@ class TestExpansion:
         ratio = float(out.HI[c, c, c] / state.HI[c, c, c])
         assert ratio == pytest.approx(
             float(out.rho[c, c, c] / state.rho[c, c, c]), rel=1e-12)
+
+
+class TestConverters:
+    def test_amr_snapshot2levels_reconstruction(self, tmp_path):
+        """The SFC bitmap reconstruction in convert.snapshot2levels must
+        invert write_snapshot_amr's leaf stream."""
+        import jax.numpy as jnp2
+
+        from radiativetransfer_tpu.core import amr
+        from radiativetransfer_tpu.io import convert
+        n = 4
+        refined = np.zeros((n, n, n), bool)
+        refined[0, 1, 2] = True
+        refined[3, 3, 3] = True
+        st = amr.make_amr_state(uniform_state(n, dtype=jnp.float64),
+                                jnp2.asarray(refined))
+        snap = str(tmp_path / "cellArray0001.npz")
+        snapshot.write_snapshot_amr(snap, st, 1, KPC)
+        out = str(tmp_path / "levels.npz")
+        convert.snapshot2levels(snap, out)
+        with np.load(out) as f:
+            assert len(f["level"]) == n ** 3 - 2 + 16
+            assert int((f["level"] == 1).sum()) == 16
+            # leaf coordinates of the refined children surround the parents
+            m = f["level"] == 1
+            assert np.all((f["x"][m] * n >= 0) & (f["x"][m] * n <= 4))
+
+
+class TestPrecisionPolicy:
+    def test_f32_step_tracks_f64(self):
+        """The engineered float32 fast path stays within documented
+        tolerance of the float64 parity path (README 'Precision')."""
+        from radiativetransfer_tpu.config import (MODE_UVB_TRANSFER_ONLY,
+                                                  RunConfig)
+        from radiativetransfer_tpu.core import step as step_mod
+        n = 6
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 300.0 * KPC)
+        m64 = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        m32 = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
+        s64 = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float64)
+        s32 = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float32)
+        import jax
+        o64 = jax.jit(m64.transport_chemistry_step)(s64)
+        o32 = jax.jit(m32.transport_chemistry_step)(s32)
+        x64 = np.asarray(o64.HI / o64.nh)
+        x32 = np.asarray(o32.HI / o32.nh, np.float64)
+        np.testing.assert_allclose(x32, x64, rtol=2e-3, atol=1e-6)
