@@ -31,15 +31,12 @@ from radiativetransfer_tpu.core.state import GridGeometry, uniform_state
 from radiativetransfer_tpu.parallel import mesh as pmesh
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
-                    n_angular_level=2, reionization_model=10, grid="scal")
-    geom = GridGeometry(n, n, n, 500.0 * KPC)
-    model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
-    state0 = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float32)
+from radiativetransfer_tpu.core import opacity, sweep
+from radiativetransfer_tpu.parallel import sweep_dist
 
-    results = {}
+
+def bench_full_step(model, state0, n, cfg, results):
+    """GSPMD auto-sharded full transport+chemistry step."""
     for nd in (1, 2, 4, 8):
         if nd > len(jax.devices()):
             break
@@ -55,11 +52,55 @@ def main():
             float(jnp.sum(out.HI))
         dt = (time.perf_counter() - t0) / reps
         thr = n ** 3 * cfg.n_directions / dt
-        results[nd] = thr
-        eff = thr / (results[1] * nd) if 1 in results else 1.0
-        print(f"devices={nd}  dt={dt:.3f}s  {thr:.3e} cells*angles/s  "
-              f"efficiency={eff:.2f}")
-    print(json.dumps({str(k): v for k, v in results.items()}))
+        results[f"gspmd/{nd}"] = thr
+        eff = thr / (results["gspmd/1"] * nd)
+        print(f"gspmd      devices={nd}  dt={dt:.3f}s  "
+              f"{thr:.3e} cells*angles/s  efficiency={eff:.2f}")
+
+
+def bench_explicit_sweeps(model, state0, n, cfg, results):
+    """Explicit shard_map sweeps (sweep only, both strategies)."""
+    kappa = opacity.compute_opacities(state0.HI, state0.HeI, state0.HeII,
+                                      model.opacity_coef)
+    uvb = jnp.asarray(model.uvb, kappa.dtype)
+    cell = model.geom.cell_size
+    base = None
+    for strategy in ("pipelined", "zones"):
+        for nd in (1, 2, 4, 8):
+            if nd > len(jax.devices()):
+                break
+            mesh = pmesh.make_grid_mesh(nd)
+            k_in = (jax.device_put(kappa, pmesh.band_field_sharding(mesh))
+                    if strategy == "pipelined" else kappa)
+            run = sweep_dist.make_jitted_sweep_dist(model.sweep_plan, mesh,
+                                                    strategy)
+            float(jnp.sum(run(k_in, uvb, cell)))
+            t0 = time.perf_counter()
+            reps = 2
+            for _ in range(reps):
+                float(jnp.sum(run(k_in, uvb, cell)))
+            dt = (time.perf_counter() - t0) / reps
+            thr = n ** 3 * cfg.n_directions / dt
+            results[f"{strategy}/{nd}"] = thr
+            if nd == 1:
+                base = thr
+            eff = thr / (base * nd)
+            print(f"{strategy:<10} devices={nd}  dt={dt:.3f}s  "
+                  f"{thr:.3e} cells*angles/s  efficiency={eff:.2f}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                    n_angular_level=2, reionization_model=10, grid="scal")
+    geom = GridGeometry(n, n, n, 500.0 * KPC)
+    model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
+    state0 = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float32)
+
+    results = {}
+    bench_full_step(model, state0, n, cfg, results)
+    bench_explicit_sweeps(model, state0, n, cfg, results)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

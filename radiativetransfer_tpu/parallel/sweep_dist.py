@@ -1,0 +1,230 @@
+"""Explicit distributed diffuse sweeps (shard_map + collectives).
+
+The reference is serial (SURVEY.md §5.8); `core.sweep` already runs sharded
+under GSPMD auto-partitioning (tests/test_parallel.py), but the collective
+schedule is then up to the compiler.  This module provides the two explicit
+TPU-native distribution strategies with hand-placed collectives:
+
+1. `diffuse_sweep_pipelined` — **grid decomposition**.  The field keeps its
+   NamedSharding on one grid axis; for every octant zone the rotated opacity
+   is re-sharded onto the rotated *last* in-plane axis (an all-to-all XLA
+   inserts at the sharding constraint), so the slab scan advances in lockstep
+   on all devices and only the in-slab upwind `yz` shift crosses the shard
+   boundary: one boundary *line* (ndir, 3, ny, 1) per chain segment per slab
+   is exchanged with `jax.lax.ppermute` over ICI.  There is no pipeline
+   bubble — the scan axis is never sharded.  This is the halo-exchange
+   pipeline of SURVEY.md §7.3 ("cross-device, the x-decomposed pipeline must
+   overlap slabs with halo sends").
+
+2. `diffuse_sweep_zone_parallel` — **angle decomposition** (the DP analog,
+   SURVEY.md §2 "Angle/frequency batching").  The opacity field is
+   replicated; the 24 octant zones are dealt round-robin to the devices
+   (`lax.switch` on the device index), each device sweeps only its zones
+   over the full grid, and the per-zone mean-intensity contributions are
+   `psum`-reduced.  No per-slab communication at all — the right choice
+   whenever the grid fits in one device's HBM.
+
+Both match the single-device `core.sweep.diffuse_sweep` to float roundoff
+(tests/test_parallel.py::TestExplicitDistributedSweep).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import sweep as core_sweep
+from ..core.sweep import SweepPlan, ZoneBatch, _attenuate, _shift_j
+from ..geometry import octants
+from ..geometry.patterns import SEG_XZ
+
+
+def _zone_params(zone: ZoneBatch, dtype):
+    """Per-slab parameter pytree in scan layout (nslab, ndir)."""
+    return {
+        "len_xy": jnp.asarray(zone.len_xy.T, dtype),
+        "len_xz": jnp.asarray(zone.len_xz.T, dtype),
+        "len_yz": jnp.asarray(zone.len_yz.T, dtype),
+        "chain2": jnp.asarray(zone.chain2.T),
+        "chain3": jnp.asarray(zone.chain3.T),
+        "n_active": jnp.asarray(zone.n_active.T, dtype),
+    }
+
+
+# --------------------------------------------------------------------------
+# strategy 1: grid decomposition with per-slab ppermute halo lines
+# --------------------------------------------------------------------------
+
+def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
+                     axis_name: str, n_shards: int):
+    """One zone's slab scan on a local (nslab, 3, ny, nz/P) block.
+
+    Identical arithmetic to core.sweep.sweep_zone; the only difference is
+    that the upwind `yz` shift (array axis -1, the sharded axis) sources its
+    first line from the left-neighbor device via ppermute instead of a local
+    slice, and only shard 0 applies the UVB boundary.
+    """
+    nslab, nb, ny, nz_loc = kappa_rot.shape
+    ndir = params["len_xy"].shape[1]
+    dtype = kappa_rot.dtype
+    uvb = uvb.astype(dtype)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, i + 1) for i in range(n_shards - 1)]
+
+    uvb_cell = uvb[None, :, None, None]
+    i_top0 = jnp.broadcast_to(uvb_cell, (ndir, nb, ny, nz_loc)).astype(dtype)
+    uvb_j = jnp.broadcast_to(uvb_cell, (ndir, nb, 1, nz_loc))
+    uvb_k = jnp.broadcast_to(uvb_cell, (ndir, nb, ny, 1))
+
+    def shift_k_halo(x):
+        # upwind line from the left neighbor's last k-column, computed in the
+        # same lockstep slab iteration; shard 0 takes the domain boundary
+        halo = jax.lax.ppermute(x[..., -1:], axis_name, perm)
+        first = jnp.where(idx == 0, uvb_k, halo)
+        return jnp.concatenate([first, x[..., :-1]], axis=-1)
+
+    xs = dict(params)
+    xs["kappa"] = kappa_rot
+
+    def slab_step(i_top, x):
+        kappa = x["kappa"][None]
+
+        def seg_tau(length):
+            return kappa * (length * cell_size)[:, None, None, None]
+
+        i_out1, lm1 = _attenuate(i_top, seg_tau(x["len_xy"]))
+
+        is2_xz = (x["chain2"] == SEG_XZ)[:, None, None, None]
+        act2 = (x["chain2"] != 0)[:, None, None, None]
+        i_in2 = jnp.where(is2_xz, _shift_j(i_out1, uvb_j), shift_k_halo(i_out1))
+        len2 = jnp.where(x["chain2"] == SEG_XZ, x["len_xz"], x["len_yz"])
+        i_out2, lm2 = _attenuate(i_in2, seg_tau(len2))
+
+        is3_xz = (x["chain3"] == SEG_XZ)[:, None, None, None]
+        act3 = (x["chain3"] != 0)[:, None, None, None]
+        i_in3 = jnp.where(is3_xz, _shift_j(i_out2, uvb_j), shift_k_halo(i_out2))
+        len3 = jnp.where(x["chain3"] == SEG_XZ, x["len_xz"], x["len_yz"])
+        i_out3, lm3 = _attenuate(i_in3, seg_tau(len3))
+
+        n_act = x["n_active"][:, None, None, None]
+        j_slab = (lm1 + jnp.where(act2, lm2, 0.0)
+                  + jnp.where(act3, lm3, 0.0)) / n_act
+        j_contrib = weight * jnp.sum(j_slab, axis=0)
+
+        i_top_next = jnp.where(n_act == 3, i_out3,
+                               jnp.where(n_act == 2, i_out2, i_out1))
+        return i_top_next, j_contrib
+
+    _, j_rot = jax.lax.scan(slab_step, i_top0, xs)
+    return j_rot
+
+
+def diffuse_sweep_pipelined(kappa, plan: SweepPlan, uvb, cell_size,
+                            mesh: Mesh) -> jax.Array:
+    """Grid-decomposed sweep with explicit per-slab ppermute halo lines.
+
+    Args match core.sweep.diffuse_sweep; `kappa` is (3, nx, ny, nz), sharded
+    (or shardable) over `mesh`'s first axis.  Returns Jmean (3, nx, ny, nz)
+    sharded on the last grid axis.
+    """
+    axis = mesh.axis_names[0]
+    n_shards = int(np.prod(mesh.devices.shape))
+    uvb = jnp.asarray(uvb, kappa.dtype)
+    kappa_l = jnp.moveaxis(kappa, 0, -1)                  # (nx,ny,nz,3)
+    grid_spec = P(None, None, axis, None)
+    jmean = jax.lax.with_sharding_constraint(
+        jnp.zeros_like(kappa_l), NamedSharding(mesh, grid_spec))
+
+    for zone in plan.zones:
+        krot = octants.rotate_to_sweep(kappa_l, zone.izone)
+        krot = jnp.moveaxis(krot, -1, 1)                  # (nslab,3,ny,nz)
+        # re-shard onto the rotated last in-plane axis: the scan axis is
+        # never sharded, so the slab pipeline runs bubble-free in lockstep
+        krot = jax.lax.with_sharding_constraint(
+            krot, NamedSharding(mesh, P(None, None, None, axis)))
+        params = _zone_params(zone, kappa.dtype)
+        kernel = jax.shard_map(
+            partial(_sweep_zone_halo, uvb=uvb, cell_size=cell_size,
+                    weight=plan.weight, axis_name=axis, n_shards=n_shards),
+            mesh=mesh,
+            in_specs=(P(None, None, None, axis),
+                      jax.tree_util.tree_map(lambda _: P(), params)),
+            out_specs=P(None, None, None, axis),
+            check_vma=False)
+        j_rot = kernel(krot, params)
+        j_rot = jnp.moveaxis(j_rot, 1, -1)
+        jmean = jmean + jax.lax.with_sharding_constraint(
+            octants.rotate_from_sweep(j_rot, zone.izone),
+            NamedSharding(mesh, grid_spec))
+    return jnp.moveaxis(jmean, -1, 0)
+
+
+# --------------------------------------------------------------------------
+# strategy 2: angle (zone) decomposition, psum reduction
+# --------------------------------------------------------------------------
+
+def diffuse_sweep_zone_parallel(kappa, plan: SweepPlan, uvb, cell_size,
+                                mesh: Mesh) -> jax.Array:
+    """Angle-decomposed sweep: zones dealt round-robin to devices, Jmean
+    psum-reduced.  `kappa` is replicated inside the shard_map (every device
+    sweeps the full grid for its own zones); returns the replicated Jmean.
+
+    Scaling is embarrassing (no per-slab halos), bounded by
+    ceil(n_zones / n_devices) / (n_zones / n_devices); with the default 24
+    zones it is perfect at 2/3/4/6/8/12/24 devices.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    uvb = jnp.asarray(uvb, kappa.dtype)
+    kappa_l = jnp.moveaxis(kappa, 0, -1)                  # (nx,ny,nz,3)
+    n_zones = len(plan.zones)
+    n_rounds = math.ceil(n_zones / n_dev)
+
+    def make_branch(zone: ZoneBatch):
+        # sweep_zone expects (ndir, nslab) layout and transposes internally
+        params = {k: jnp.asarray(getattr(zone, k)) for k in
+                  ("len_xy", "len_xz", "len_yz", "chain2", "chain3",
+                   "n_active")}
+
+        def branch(k_l):
+            krot = octants.rotate_to_sweep(k_l, zone.izone)
+            krot = jnp.moveaxis(krot, -1, 1)
+            j_rot = core_sweep.sweep_zone(krot, params, uvb, cell_size,
+                                          plan.weight)
+            return octants.rotate_from_sweep(jnp.moveaxis(j_rot, 1, -1),
+                                             zone.izone)
+        return branch
+
+    branches = [make_branch(z) for z in plan.zones]
+    branches.append(lambda k_l: jnp.zeros_like(k_l))      # idle-round pad
+
+    def worker(k_l):
+        idx = jax.lax.axis_index(axis)
+        j = jnp.zeros_like(k_l)
+        for r in range(n_rounds):
+            z = r * n_dev + idx
+            z = jnp.where(z < n_zones, z, n_zones)        # pad branch
+            j = j + jax.lax.switch(z, branches, k_l)
+        return jax.lax.psum(j, axis)
+
+    jmean_l = jax.shard_map(worker, mesh=mesh, in_specs=P(),
+                            out_specs=P(), check_vma=False)(kappa_l)
+    return jnp.moveaxis(jmean_l, -1, 0)
+
+
+def make_jitted_sweep_dist(plan: SweepPlan, mesh: Mesh,
+                           strategy: str = "pipelined"):
+    """jit-compiled distributed sweep closed over a fixed plan and mesh.
+
+    strategy: "pipelined" (grid decomposition, per-slab halo lines) or
+    "zones" (angle decomposition, psum).
+    """
+    fn = {"pipelined": diffuse_sweep_pipelined,
+          "zones": diffuse_sweep_zone_parallel}[strategy]
+    return jax.jit(lambda kappa, uvb, cell_size:
+                   fn(kappa, plan, uvb, cell_size, mesh))

@@ -56,6 +56,46 @@ class TestShardedSweep:
         np.testing.assert_allclose(np.asarray(out_sharded.Jmean),
                                    np.asarray(out_single.Jmean), rtol=1e-11)
 
+    def test_explicit_pipelined_matches_single_device(self):
+        """The shard_map + ppermute halo-line sweep (SURVEY.md §5.8/§7.3)
+        must reproduce the serial sweep to roundoff."""
+        from radiativetransfer_tpu.parallel import sweep_dist
+        n = 16
+        rng = np.random.default_rng(1)
+        cell = KPC
+        kappa = jnp.asarray(rng.lognormal(0, 1, (3, n, n, n)) * 0.5 / cell,
+                            jnp.float64)
+        uvb = jnp.asarray([1.0, 0.5, 0.25], jnp.float64)
+        plan = sweep.build_sweep_plan(1, n)
+        j_single = np.asarray(sweep.diffuse_sweep(kappa, plan, uvb, cell))
+
+        mesh = pmesh.make_grid_mesh(8)
+        kappa_sh = jax.device_put(kappa, pmesh.band_field_sharding(mesh))
+        run = sweep_dist.make_jitted_sweep_dist(plan, mesh, "pipelined")
+        j_dist = run(kappa_sh, uvb, cell)
+        # output stays grid-decomposed (no gather)
+        assert len(j_dist.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(j_dist), j_single, rtol=1e-13)
+
+    def test_explicit_zone_parallel_matches_single_device(self):
+        """The angle-decomposed psum sweep must reproduce the serial sweep:
+        each device sweeps its round-robin share of the 24 octant zones."""
+        from radiativetransfer_tpu.parallel import sweep_dist
+        n = 12
+        rng = np.random.default_rng(2)
+        cell = KPC
+        kappa = jnp.asarray(rng.lognormal(0, 1, (3, n, n, n)) * 0.5 / cell,
+                            jnp.float64)
+        uvb = jnp.asarray([1.0, 0.5, 0.25], jnp.float64)
+        plan = sweep.build_sweep_plan(2, n)   # 48 dirs -> all 24 zones
+        assert len(plan.zones) == 24
+        j_single = np.asarray(sweep.diffuse_sweep(kappa, plan, uvb, cell))
+
+        mesh = pmesh.make_grid_mesh(8)
+        run = sweep_dist.make_jitted_sweep_dist(plan, mesh, "zones")
+        j_dist = np.asarray(run(kappa, uvb, cell))
+        np.testing.assert_allclose(j_dist, j_single, rtol=1e-13)
+
     def test_sharded_output_stays_sharded(self):
         # the chemistry update must not gather the grid to one device
         n = 16
