@@ -51,13 +51,23 @@ def bench_rays() -> None:
 
     pop = stellar.blackbody_population(q_ionizing=1.0e51)
     t = stellar.build_source_tables(pop, 0, 0.0, 0, 0.0)
-    tables = {"reaction_log": jnp.asarray(t.reaction_log, jnp.float32)[None],
-              "energy_log": jnp.asarray(t.energy_log, jnp.float32)[None],
+    # volume-normalize like core.step.StellarContext so f32 rates are finite
+    geom_cell = (2000.0 / n) * KPC
+    log_vol = float(np.log(geom_cell) * 3)
+    quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+    tables = {"reaction_log": jnp.asarray(t.reaction_log - log_vol,
+                                          jnp.float32)[None],
+              "energy_log": jnp.asarray(t.energy_log - log_vol,
+                                        jnp.float32)[None],
+              "quad_A": jnp.asarray(quad_a, jnp.float32),
+              "quad_W": jnp.asarray(quad_w / np.exp(log_vol),
+                                    jnp.float32)[None],
               "output_freq": t.output_freq,
               "output_sigma24": t.output_sigma24,
               "output_sigma25": t.output_sigma25,
               "output_sigma26": t.output_sigma26,
               "output_sigma_dust": t.output_sigma_dust}
+    rates_mode = os.environ.get("BENCH_RAYS_MODE", "quadrature")
     rng = np.random.default_rng(0)
     pos = rng.uniform(0.3, 0.7, (n_src, 3))
     pos = (np.floor(pos * n) + 0.5) / n
@@ -69,7 +79,8 @@ def bench_rays() -> None:
     def run():
         rf, diag = rays.trace_point_sources(state, geom, src, tables,
                                             max_pixel_level=6,
-                                            dtype=jnp.float32)
+                                            dtype=jnp.float32,
+                                            rates_mode=rates_mode)
         return float(jnp.sum(rf.krate24))
 
     run()  # compile
@@ -84,7 +95,7 @@ def bench_rays() -> None:
     value = total_rays / dt
     print(json.dumps({
         "metric": f"point-source rays/s ({n}^3 grid, {n_src} sources, "
-                  f"maxPixelLevel 6, {platform})",
+                  f"maxPixelLevel 6, {rates_mode} rates, {platform})",
         "value": value,
         "unit": "rays/s",
         "vs_baseline": value / 1.0e6,

@@ -116,28 +116,55 @@ def _base_directions(n_rays_per_source: int, level: int) -> np.ndarray:
     return healpix.direction_vectors(phi, theta)
 
 
-def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
-                 rate_fields: RateFields, r_stop: float, last_phase: bool,
-                 dust_approximation: int, max_steps: int, src_of_ray):
+def _pack_tables(reaction_log, energy_log):
+    """Pack the per-bucket 4-D log tables (B,3,n1,n2,n3,n4) x2 into one
+    flattened (B*n1*n2*n3*n4, 6) array whose 6 channels
+    [reaction band 1..3, energy band 1..3] are contiguous per tau corner —
+    the whole per-corner payload becomes ONE single-axis gather row."""
+    r = jnp.moveaxis(reaction_log, 1, -1)
+    e = jnp.moveaxis(energy_log, 1, -1)
+    return jnp.concatenate([r, e], axis=-1).reshape(-1, 6)
+
+
+def _pack_fields(*cols):
+    """Stack flattened grid fields into (ncells, k) so all per-cell scalars
+    come back in one gather row."""
+    return jnp.stack([c.reshape(-1) for c in cols], axis=1)
+
+
+def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
+                 diag: RayDiagnostics, rf: RateFields, r_stop: float,
+                 last_phase: bool, dust_approximation: int, max_steps: int,
+                 src_of_ray):
     """March all rays of one phase until they die or reach r_stop.
 
-    fields: dict with flattened HI, HeI, HeII, nH, abun2 (n^3,) arrays.
-    tables: dict with reaction_log/energy_log (B,3,11,11,11,11) and the
-            output_sigma arrays.
+    fields_pk: packed (n^3, 5) array [HI, HeI, HeII, nH, abun2].
+    rate_ctx: ("table", table_flat) or ("quadrature", (quad_A, quad_W)).
+
+    Per-step tuning, from measured TPU costs (the tracer is random-access
+    bound, not FLOP bound): per-cell scalars come back in one row gather;
+    in table mode the 4 attenuation states (entry + 3 advanced channels)
+    interpolate in ONE batched row-gather call (row gathers are ~25x
+    faster than per-channel scalar gathers on TPU); deposits scatter as 6
+    SCALAR scatter-adds (measured 2.4x faster than one 6-column row
+    scatter); the escape-fraction/boundary diagnostics accumulate in
+    per-ray carry buffers reduced to per-source totals once per phase.
     """
     n = geom.nx
     cell_size = geom.cell_size
     dtype = state.ndot.dtype
     out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
+    R = state.pos.shape[0]
+    rem_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
+    bnd_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
 
-    reaction_log = tables["reaction_log"]
-    energy_log = tables["energy_log"]
+    rates_mode = rate_ctx[0]
 
     def flat_idx(cell):
         return (cell[:, 0] * n + cell[:, 1]) * n + cell[:, 2]
 
     def step(carry):
-        state, diag, rf, it = carry
+        state, rem_acc, bnd_acc, rf, it = carry
         d = state.direction
         d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
         # distance to the exit face along each axis (drawSegment,
@@ -165,9 +192,8 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
         plen = seg_cells * cell_size      # physical segment length [cm]
 
         idx = flat_idx(state.cell)
-        hi = fields["HI"][idx]
-        hei = fields["HeI"][idx]
-        heii = fields["HeII"][idx]
+        fv = fields_pk[idx]               # (R, 5): HI, HeI, HeII, nH, abun2
+        hi, hei, heii = fv[:, 0], fv[:, 1], fv[:, 2]
         # threshold optical depths (equiSources.f90:3180-3196)
         tau1 = plen * hi * SIGMA24_AT_NU1
         tau2 = plen * hei * SIGMA26_AT_NU2
@@ -175,9 +201,9 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
         if dust_approximation == NO_DUST:
             taud = jnp.zeros_like(tau1)
         elif dust_approximation == COMPLETE_SUBLIMATION:
-            taud = plen * hi * SIGMA_DUST_AT_NU1 * fields["abun2"][idx] / 0.2
+            taud = plen * hi * SIGMA_DUST_AT_NU1 * fv[:, 4] / 0.2
         else:  # NO_SUBLIMATION
-            taud = plen * fields["nH"][idx] * SIGMA_DUST_AT_NU1 * fields["abun2"][idx] / 0.2
+            taud = plen * fv[:, 3] * SIGMA_DUST_AT_NU1 * fv[:, 4] / 0.2
         tau = jnp.stack([tau1, tau2, tau3, taud], axis=1)
         tau = jnp.where(active[:, None], tau, 0.0)
 
@@ -191,9 +217,7 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
                           / jnp.maximum((r2 - r1)[:, None], 1e-30), 0.0)
         esc = state.ndot[:, None] * jnp.exp(
             -(ratio * (tau1 + taud)[:, None] + (state.depth[:, 0] + state.depth[:, 3])[:, None]))
-        diag = dataclasses.replace(
-            diag, ndot_remaining=diag.ndot_remaining
-            .at[src_of_ray].add(jnp.where(in_seg, esc, 0.0)))
+        rem_acc = rem_acc + jnp.where(in_seg, esc, 0.0)
         # outermost-radius crossing record for the emergent spectrum
         crossing = in_seg[:, -1] & ~state.crossed
         cross_depth = jnp.where(
@@ -202,32 +226,34 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
         crossed = state.crossed | crossing
 
         # ---- rate deposits (equiSources.f90:3243-3260) ----
-        # entry rates and each advanced-channel rate; the krate/crate
-        # increments are entry-minus-exit differences per channel
-        tidx = state.table_idx
-        d0 = state.depth
-
-        def rates(depths):
-            return _interp_bucketed(reaction_log, energy_log, tidx, depths,
-                                    dust_approximation != NO_DUST)
-
-        n_in, h_in = rates(d0)
-        adv1 = d0.at[:, 0].add(tau1)
-        adv2 = d0.at[:, 1].add(tau2)
-        adv3 = d0.at[:, 2].add(tau3)
-        n_a1, h_a1 = rates(adv1)
-        n_a2, h_a2 = rates(adv2)
-        n_a3, h_a3 = rates(adv3)
-
+        # the krate/crate increments are entry-minus-exit rate differences
+        # per channel, where "exit" advances only that channel's tau
         w = jnp.where(active, state.ndot, 0.0)
-        rf = RateFields(
-            krate24=rf.krate24.at[idx].add(w * (n_in[:, 0] - n_a1[:, 0])),
-            crate24=rf.crate24.at[idx].add(w * (h_in[:, 0] - h_a1[:, 0])),
-            krate26=rf.krate26.at[idx].add(w * (n_in[:, 1] - n_a2[:, 1])),
-            crate26=rf.crate26.at[idx].add(w * (h_in[:, 1] - h_a2[:, 1])),
-            krate25=rf.krate25.at[idx].add(w * (n_in[:, 2] - n_a3[:, 2])),
-            crate25=rf.crate25.at[idx].add(w * (h_in[:, 2] - h_a3[:, 2])),
-        )
+        d0 = state.depth
+        if rates_mode == "table":
+            # entry + 3 advanced states interpolate in one batched call
+            depths4 = jnp.concatenate([
+                d0, d0.at[:, 0].add(tau1), d0.at[:, 1].add(tau2),
+                d0.at[:, 2].add(tau3)], axis=0)
+            tidx4 = jnp.concatenate([state.table_idx] * 4)
+            v = _interp_flat(rate_ctx[1], tidx4, depths4,
+                             dust_approximation != NO_DUST)
+            v_in, v_a1, v_a2, v_a3 = jnp.split(v, 4, axis=0)
+            deposit = (
+                w * (v_in[:, 0] - v_a1[:, 0]),   # krate24
+                w * (v_in[:, 2] - v_a3[:, 2]),   # krate25
+                w * (v_in[:, 1] - v_a2[:, 1]),   # krate26
+                w * (v_in[:, 3] - v_a1[:, 3]),   # crate24
+                w * (v_in[:, 5] - v_a3[:, 5]),   # crate25
+                w * (v_in[:, 4] - v_a2[:, 4]),   # crate26
+            )
+        else:
+            quad_A, quad_W = rate_ctx[1]
+            dtau = jnp.stack([tau1, tau2, tau3], axis=1)
+            deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                          state.table_idx, w)
+        rf = RateFields(*(getattr(rf, f.name).at[idx].add(v)
+                          for f, v in zip(dataclasses.fields(rf), deposit)))
 
         # ---- advance ----
         depth_new = state.depth + tau
@@ -241,15 +267,15 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
                             face[:, None], pos_new)
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n), axis=1) & ~cut
-        killed_tau = jnp.min(depth_new, axis=1) > _TAU_KILL
+        # kill on the THREE ionization depths only (equiSources.f90:3241);
+        # the dust depth stays 0 with dust off and must not veto the kill
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
 
         # boundary accounting (equiSources.f90:3228-3233)
         hit_boundary = active & out_of_box
         beyond = out_radii[None, :] > r2[:, None]
-        diag = dataclasses.replace(
-            diag, ndot_boundary=diag.ndot_boundary
-            .at[src_of_ray].add(jnp.where(beyond & hit_boundary[:, None],
-                                          state.ndot[:, None], 0.0)))
+        bnd_acc = bnd_acc + jnp.where(beyond & hit_boundary[:, None],
+                                      state.ndot[:, None], 0.0)
 
         alive_new = active & ~out_of_box & ~killed_tau & ~will_split
         split_new = state.split | (active & will_split & ~killed_tau)
@@ -261,22 +287,67 @@ def _march_phase(state: _RayState, fields, geom, tables, diag: RayDiagnostics,
             depth=jnp.where(active[:, None], depth_new, state.depth),
             alive=alive_new, split=split_new,
             crossed=crossed, cross_depth=cross_depth)
-        return state, diag, rf, it + 1
+        return state, rem_acc, bnd_acc, rf, it + 1
 
     def cond(carry):
-        state, _, _, it = carry
+        state, _, _, _, it = carry
         return jnp.any(state.alive) & (it < max_steps)
 
-    state, diag, rate_fields, _ = jax.lax.while_loop(
-        cond, step, (state, diag, rate_fields, jnp.int32(0)))
-    return state, diag, rate_fields
+    state, rem_acc, bnd_acc, rf, _ = jax.lax.while_loop(
+        cond, step, (state, rem_acc0, bnd_acc0, rf, jnp.int32(0)))
+    diag = dataclasses.replace(
+        diag,
+        ndot_remaining=diag.ndot_remaining.at[src_of_ray].add(rem_acc),
+        ndot_boundary=diag.ndot_boundary.at[src_of_ray].add(bnd_acc))
+    return state, diag, rf
 
 
-def _interp_bucketed(reaction_log, energy_log, table_idx, depths, dust_on):
-    """interp_rates_4d over stacked per-bucket tables.
+def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w):
+    """Deposit diffs by direct spectral quadrature (no table gathers).
 
-    reaction_log/energy_log: (B, 3, 11,11,11,11); table_idx: (R,);
-    depths: (R, 4).  Returns (number, heat) each (R, 3).
+    rate_c(tau) = sum_f W[b, f, c] exp(-tau . A[:, f])  exactly as the 4-D
+    tables integrate it (stellarBetaTable.f90:217-285), so
+      entry - exit  =  sum_f W e0_f (1 - exp(-dtau_j A[j, f])).
+
+    The attenuation slopes A are bucket-INDEPENDENT (pure cross-section
+    ratios), so the expensive exp fields are computed once; per-bucket SED
+    weights enter only through cheap (R,F)@(F,) matmuls, selected per ray
+    by mask.  d0: (R, 4); dtau: (R, 3); quad_A: (4, F); quad_W: (B, F, 6);
+    w: (R,) ray weights.  Returns the 6 deposit arrays in RateFields order
+    [krate24, krate25, krate26, crate24, crate25, crate26].
+    """
+    e0 = jnp.exp(-(d0 @ quad_A))                     # (R, F)
+    B = quad_W.shape[0]
+    out = {}
+    for j in range(3):
+        fj = -jnp.expm1(-dtau[:, j:j + 1] * quad_A[j][None, :])
+        g = e0 * fj                                  # (R, F)
+        num = heat = 0.0
+        for b in range(B):
+            num_b = g @ quad_W[b, :, j]
+            heat_b = g @ quad_W[b, :, j + 3]
+            if B == 1:
+                num, heat = num_b, heat_b
+            else:
+                sel = table_idx == b
+                num = num + jnp.where(sel, num_b, 0.0)
+                heat = heat + jnp.where(sel, heat_b, 0.0)
+        out[j] = (w * num, w * heat)
+    return (out[0][0], out[2][0], out[1][0],
+            out[0][1], out[2][1], out[1][1])
+
+
+def _interp_flat(table_flat, table_idx, depths, dust_on):
+    """Quad-linear log-space interpolation over the packed SED tables
+    (getRatesHydrogenHelium, equiSources.f90:4157-4311).
+
+    table_flat: (B*n1*n2*n3*n4, 6) from _pack_tables; table_idx: (R,);
+    depths: (R, 4).  Returns (R, 6) [number bands 1..3, heat bands 1..3].
+
+    Each of the 16 tau corners is ONE single-axis gather of a contiguous
+    6-value row: a 5-axis advanced-indexing form lowered to a
+    pathologically slow scatter-gather on TPU, and separate
+    reaction/energy tables doubled the gather count.
     """
     from ..constants import (MAX_OPTICAL_DEPTH1, MAX_OPTICAL_DEPTH2,
                              MAX_OPTICAL_DEPTH3, MAX_OPTICAL_DEPTH_DUST,
@@ -295,38 +366,40 @@ def _interp_bucketed(reaction_log, energy_log, table_idx, depths, dust_on):
     i3, c3 = idx_coef(t3, NDEPTH3, MAX_OPTICAL_DEPTH3)
     if dust_on:
         i4, c4 = idx_coef(td, NDEPTH_DUST, MAX_OPTICAL_DEPTH_DUST)
+        d4_range = (0, 1)
     else:
+        # dust off: c4 == 0 identically, so the d4 = 1 corners carry zero
+        # weight — skip them and halve the gather count
         i4, c4 = jnp.zeros_like(i1), jnp.zeros_like(c1)
+        d4_range = (0,)
 
-    # flatten the 4-D corner indices to ONE gather index per corner: a
-    # single-axis gather lowers to a fast path on TPU, while the 5-axis
-    # advanced-indexing form produced a pathologically slow scatter-gather
     n1, n2_, n3, n4 = NDEPTH1 + 1, NDEPTH2 + 1, NDEPTH3 + 1, NDEPTH_DUST + 1
-    B = reaction_log.shape[0]
     base_flat = table_idx * (n1 * n2_ * n3 * n4)
 
-    def quad(table):
-        t = table.reshape(B * n1 * n2_ * n3 * n4, 3)
-        acc = 0.0
-        for d1 in (0, 1):
-            w1 = c1 if d1 else (1.0 - c1)
-            for d2 in (0, 1):
-                w2 = c2 if d2 else (1.0 - c2)
-                for d3 in (0, 1):
-                    w3 = c3 if d3 else (1.0 - c3)
-                    for d4 in (0, 1):
-                        w4 = c4 if d4 else (1.0 - c4)
-                        f = (((i1 + d1) * n2_ + (i2 + d2)) * n3
-                             + (i3 + d3)) * n4 + (i4 + d4) + base_flat
-                        acc = acc + (w1 * w2 * w3 * w4)[:, None] * t[f]
-        return jnp.exp(acc)
-
+    acc = 0.0
+    for d1 in (0, 1):
+        w1 = c1 if d1 else (1.0 - c1)
+        for d2 in (0, 1):
+            w2 = c2 if d2 else (1.0 - c2)
+            for d3 in (0, 1):
+                w3 = c3 if d3 else (1.0 - c3)
+                for d4 in d4_range:
+                    w = w1 * w2 * w3
+                    if dust_on:
+                        w = w * (c4 if d4 else (1.0 - c4))
+                    f = (((i1 + d1) * n2_ + (i2 + d2)) * n3
+                         + (i3 + d3)) * n4 + (i4 + d4) + base_flat
+                    acc = acc + w[:, None] * table_flat[f]
     live = jnp.where(oor, 0.0, 1.0)[:, None]
-    # tables are stored (B, 3, n1, n2, n3, n4); move the band axis last so
-    # the flattened gather picks 3 contiguous values per corner
-    r_t = jnp.moveaxis(reaction_log, 1, -1)
-    e_t = jnp.moveaxis(energy_log, 1, -1)
-    return quad(r_t) * live, quad(e_t) * live
+    return jnp.exp(acc) * live
+
+
+def _interp_bucketed(reaction_log, energy_log, table_idx, depths, dust_on):
+    """Back-compat wrapper: (number, heat) each (R, 3) from the separate
+    per-bucket tables (used by the AMR tracer's tests/pathways)."""
+    v = _interp_flat(_pack_tables(reaction_log, energy_log), table_idx,
+                     depths, dust_on)
+    return v[:, :3], v[:, 3:]
 
 
 def _spawn_phase(sources: SourceBatch, level: int, dtype) -> _RayState:
@@ -395,13 +468,21 @@ def _split_rays(state: _RayState, level: int, n: int, dtype,
 
 def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                       n_sources: int, dust_approximation: int,
-                      max_pixel_level: int, dtype):
+                      max_pixel_level: int, dtype, rates_mode: str = "table"):
     """All phases of the trace; pure function of arrays, jitted via
     _get_tracer (the phase loop unrolls at trace time)."""
     n = geom.nx
     rmax = rmax_table()
     diag = RayDiagnostics.zeros(n_sources, dtype)
     rf = RateFields(*[jnp.zeros(n * n * n, dtype) for _ in range(6)])
+    fields_pk = _pack_fields(fields["HI"], fields["HeI"], fields["HeII"],
+                             fields["nH"], fields["abun2"])
+    if rates_mode == "quadrature":
+        rate_ctx = ("quadrature", (jnp.asarray(tables["quad_A"], dtype),
+                                   jnp.asarray(tables["quad_W"], dtype)))
+    else:
+        rate_ctx = ("table", _pack_tables(tables["reaction_log"],
+                                          tables["energy_log"]))
     state = init_state
 
     sig_ratio = jnp.stack([
@@ -419,7 +500,7 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
         src_of_ray = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32),
                                 rays_per_source)
         state, diag, rf = _march_phase(
-            state, fields, geom, tables, diag, rf, r_stop, last,
+            state, fields_pk, geom, rate_ctx, diag, rf, r_stop, last,
             dust_approximation, max_steps, src_of_ray)
 
         # emergent spectrum from this phase's outer-radius crossings
@@ -452,29 +533,41 @@ _TRACER_CACHE: dict = {}
 
 
 def _get_tracer(geom, n_sources: int, dust_approximation: int,
-                max_pixel_level: int, dtype):
+                max_pixel_level: int, dtype, rates_mode: str):
     """Compiled tracer, cached on the static configuration so repeated
     iterations reuse the executable."""
     key = (geom, n_sources, dust_approximation, max_pixel_level,
-           jnp.dtype(dtype).name)
+           jnp.dtype(dtype).name, rates_mode)
     if key not in _TRACER_CACHE:
         _TRACER_CACHE[key] = jax.jit(
             partial(_trace_all_phases, geom=geom, n_sources=n_sources,
                     dust_approximation=dust_approximation,
-                    max_pixel_level=max_pixel_level, dtype=dtype))
+                    max_pixel_level=max_pixel_level, dtype=dtype,
+                    rates_mode=rates_mode))
     return _TRACER_CACHE[key]
 
 
 def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
                         dust_approximation: int = NO_DUST,
                         max_pixel_level: int = MAX_PIXEL_LEVEL,
-                        dtype=jnp.float64):
+                        dtype=jnp.float64, rates_mode: str = "auto"):
     """Trace all sources; returns (RateFields on the grid, RayDiagnostics).
 
     state_fields: FieldState (dense (n,n,n) fields).
     tables: dict with 'reaction_log'/'energy_log' (B,3,11^4 shapes) and
-            'output_sigma24/25/26/dust' + 'output_freq' (nenergy,).
+            'output_sigma24/25/26/dust' + 'output_freq' (nenergy,);
+            optionally 'quad_A' (4,F) / 'quad_W' (B,F,6) from
+            tables.stellar.quadrature_arrays.
+
+    rates_mode: 'table' interpolates the reference's 4-D attenuation
+    tables (getRatesHydrogenHelium parity, zero outside tau in [0,10]^4);
+    'quadrature' evaluates the same spectral sum directly (exact, no
+    interpolation error, valid at any tau, and much faster on TPU — two
+    matmuls instead of 32 gathers per segment); 'auto' picks quadrature
+    when quad_A/quad_W are present.
     """
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
     n = geom.nx
     fields = {
         "HI": state_fields.HI.reshape(-1).astype(dtype),
@@ -488,7 +581,7 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
         state, cell=jnp.clip((state.pos * n).astype(jnp.int32), 0, n - 1))
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
     tracer = _get_tracer(geom, sources.n_sources, dust_approximation,
-                         max_pixel_level, dtype)
+                         max_pixel_level, dtype, rates_mode)
     return tracer(fields, state, tables_dev)
 
 

@@ -45,7 +45,10 @@ from .rays import (
     RayDiagnostics,
     SourceBatch,
     _RayState,
-    _interp_bucketed,
+    _deposit_quadrature,
+    _interp_flat,
+    _pack_fields,
+    _pack_tables,
     _spawn_phase,
     _split_rays,
 )
@@ -53,22 +56,27 @@ from .rays import (
 _TAU_KILL = 100.0
 
 
-def _march_phase_amr(state: _RayState, fields, geom, tables,
-                     diag: RayDiagnostics, rf_base: RateFields,
-                     rf_fine: RateFields, r_stop: float, last_phase: bool,
+def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
+                     diag: RayDiagnostics, rfb: RateFields, rff: RateFields,
+                     r_stop: float, last_phase: bool,
                      dust_approximation: int, max_steps: int, src_of_ray):
     """March one phase on a two-level grid.
 
-    state.cell holds FINE (2n-grid) indices; fields holds flattened base
-    ('HI', ...) and fine ('HI_f', ...) arrays plus 'refined' (n^3,).
+    state.cell holds FINE (2n-grid) indices; fields holds packed per-level
+    field arrays 'base' (n^3, 5) / 'fine' ((2n)^3, 5) [HI, HeI, HeII, nH,
+    abun2] plus 'refined' (n^3,).  rate_ctx: ("table", table_flat) or
+    ("quadrature", (quad_A, quad_W)).  Same gather/scatter tuning as
+    core.rays._march_phase.
     """
     n = geom.nx
     n2 = 2 * n
     cell_size = geom.cell_size          # base cell [cm]
     dtype = state.ndot.dtype
     out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
-    reaction_log = tables["reaction_log"]
-    energy_log = tables["energy_log"]
+    R = state.pos.shape[0]
+    rem_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
+    bnd_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
+    rates_mode = rate_ctx[0]
 
     def flat_base(cb):
         return (cb[:, 0] * n + cb[:, 1]) * n + cb[:, 2]
@@ -77,7 +85,7 @@ def _march_phase_amr(state: _RayState, fields, geom, tables,
         return (cf[:, 0] * n2 + cf[:, 1]) * n2 + cf[:, 2]
 
     def step(carry):
-        state, diag, rfb, rff, it = carry
+        state, rem_acc, bnd_acc, rfb, rff, it = carry
         d = state.direction
         d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
 
@@ -115,11 +123,9 @@ def _march_phase_amr(state: _RayState, fields, geom, tables,
 
         ib = flat_base(cb)
         if_ = flat_fine(cf)
-        hi = jnp.where(lvl1, fields["HI_f"][if_], fields["HI"][ib])
-        hei = jnp.where(lvl1, fields["HeI_f"][if_], fields["HeI"][ib])
-        heii = jnp.where(lvl1, fields["HeII_f"][if_], fields["HeII"][ib])
-        ab2 = jnp.where(lvl1, fields["abun2_f"][if_], fields["abun2"][ib])
-        nh = jnp.where(lvl1, fields["nH_f"][if_], fields["nH"][ib])
+        fv = jnp.where(lvl1[:, None], fields["fine"][if_], fields["base"][ib])
+        hi, hei, heii, nh, ab2 = (fv[:, 0], fv[:, 1], fv[:, 2], fv[:, 3],
+                                  fv[:, 4])
 
         tau1 = plen * hi * SIGMA24_AT_NU1
         tau2 = plen * hei * SIGMA26_AT_NU2
@@ -144,9 +150,7 @@ def _march_phase_amr(state: _RayState, fields, geom, tables,
         esc = state.ndot[:, None] * jnp.exp(
             -(ratio * (tau1 + taud)[:, None]
               + (state.depth[:, 0] + state.depth[:, 3])[:, None]))
-        diag = dataclasses.replace(
-            diag, ndot_remaining=diag.ndot_remaining
-            .at[src_of_ray].add(jnp.where(in_seg, esc, 0.0)))
+        rem_acc = rem_acc + jnp.where(in_seg, esc, 0.0)
         crossing = in_seg[:, -1] & ~state.crossed
         cross_depth = jnp.where(crossing[:, None],
                                 state.depth + ratio[:, -1:] * tau,
@@ -154,34 +158,40 @@ def _march_phase_amr(state: _RayState, fields, geom, tables,
         crossed = state.crossed | crossing
 
         # rate deposits into the traversed leaf (:3243-3260)
-        tidx = state.table_idx
-        d0 = state.depth
-
-        def rates(depths):
-            return _interp_bucketed(reaction_log, energy_log, tidx, depths,
-                                    dust_approximation != NO_DUST)
-
-        n_in, h_in = rates(d0)
-        n_a1, h_a1 = rates(d0.at[:, 0].add(tau1))
-        n_a2, h_a2 = rates(d0.at[:, 1].add(tau2))
-        n_a3, h_a3 = rates(d0.at[:, 2].add(tau3))
-
         w = jnp.where(active, state.ndot, 0.0)
-        wb = jnp.where(lvl1, 0.0, w)
-        wf = jnp.where(lvl1, w, 0.0)
-
-        def deposit(rf, wsel, idx):
-            return RateFields(
-                krate24=rf.krate24.at[idx].add(wsel * (n_in[:, 0] - n_a1[:, 0])),
-                crate24=rf.crate24.at[idx].add(wsel * (h_in[:, 0] - h_a1[:, 0])),
-                krate26=rf.krate26.at[idx].add(wsel * (n_in[:, 1] - n_a2[:, 1])),
-                crate26=rf.crate26.at[idx].add(wsel * (h_in[:, 1] - h_a2[:, 1])),
-                krate25=rf.krate25.at[idx].add(wsel * (n_in[:, 2] - n_a3[:, 2])),
-                crate25=rf.crate25.at[idx].add(wsel * (h_in[:, 2] - h_a3[:, 2])),
+        d0 = state.depth
+        if rates_mode == "table":
+            # the 4 attenuation states interpolate in one batched call
+            depths4 = jnp.concatenate([
+                d0, d0.at[:, 0].add(tau1), d0.at[:, 1].add(tau2),
+                d0.at[:, 2].add(tau3)], axis=0)
+            tidx4 = jnp.concatenate([state.table_idx] * 4)
+            v = _interp_flat(rate_ctx[1], tidx4, depths4,
+                             dust_approximation != NO_DUST)
+            v_in, v_a1, v_a2, v_a3 = jnp.split(v, 4, axis=0)
+            dep_unit = (
+                v_in[:, 0] - v_a1[:, 0],   # krate24
+                v_in[:, 2] - v_a3[:, 2],   # krate25
+                v_in[:, 1] - v_a2[:, 1],   # krate26
+                v_in[:, 3] - v_a1[:, 3],   # crate24
+                v_in[:, 5] - v_a3[:, 5],   # crate25
+                v_in[:, 4] - v_a2[:, 4],   # crate26
             )
+            deposit = tuple(w * d for d in dep_unit)
+        else:
+            quad_A, quad_W = rate_ctx[1]
+            dtau = jnp.stack([tau1, tau2, tau3], axis=1)
+            deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                          state.table_idx, w)
 
-        rfb = deposit(rfb, wb, ib)
-        rff = deposit(rff, wf, if_)
+        # deposit into the traversed leaf's level: 6 scalar scatter-adds
+        # per level, zero-weighted on the other level
+        on_fine = lvl1.astype(w.dtype)
+        rfb = RateFields(*(getattr(rfb, f.name)
+                           .at[ib].add(v * (1.0 - on_fine))
+                           for f, v in zip(dataclasses.fields(rfb), deposit)))
+        rff = RateFields(*(getattr(rff, f.name).at[if_].add(v * on_fine)
+                           for f, v in zip(dataclasses.fields(rff), deposit)))
 
         # advance: snap the crossing coordinate onto the (fine-unit) face,
         # step the fine index by exact face arithmetic
@@ -207,14 +217,13 @@ def _march_phase_amr(state: _RayState, fields, geom, tables,
         cell_new = jnp.where(cut[:, None], state.cell, cell_new)
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n2), axis=1) & ~cut
-        killed_tau = jnp.min(depth_new, axis=1) > _TAU_KILL
+        # kill on the THREE ionization depths only (equiSources.f90:3241)
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
 
         hit_boundary = active & out_of_box
         beyond = out_radii[None, :] > r2[:, None]
-        diag = dataclasses.replace(
-            diag, ndot_boundary=diag.ndot_boundary
-            .at[src_of_ray].add(jnp.where(beyond & hit_boundary[:, None],
-                                          state.ndot[:, None], 0.0)))
+        bnd_acc = bnd_acc + jnp.where(beyond & hit_boundary[:, None],
+                                      state.ndot[:, None], 0.0)
 
         alive_new = active & ~out_of_box & ~killed_tau & ~will_split
         split_new = state.split | (active & will_split & ~killed_tau)
@@ -226,25 +235,44 @@ def _march_phase_amr(state: _RayState, fields, geom, tables,
             depth=jnp.where(active[:, None], depth_new, state.depth),
             alive=alive_new, split=split_new,
             crossed=crossed, cross_depth=cross_depth)
-        return state, diag, rfb, rff, it + 1
+        return state, rem_acc, bnd_acc, rfb, rff, it + 1
 
     def cond(carry):
-        state, _, _, _, it = carry
+        state, _, _, _, _, it = carry
         return jnp.any(state.alive) & (it < max_steps)
 
-    state, diag, rf_base, rf_fine, _ = jax.lax.while_loop(
-        cond, step, (state, diag, rf_base, rf_fine, jnp.int32(0)))
-    return state, diag, rf_base, rf_fine
+    state, rem_acc, bnd_acc, rfb, rff, _ = jax.lax.while_loop(
+        cond, step, (state, rem_acc0, bnd_acc0, rfb, rff, jnp.int32(0)))
+    diag = dataclasses.replace(
+        diag,
+        ndot_remaining=diag.ndot_remaining.at[src_of_ray].add(rem_acc),
+        ndot_boundary=diag.ndot_boundary.at[src_of_ray].add(bnd_acc))
+    return state, diag, rfb, rff
 
 
 def _trace_all_phases_amr(fields, init_state, tables, geom, n_sources,
-                          dust_approximation, max_pixel_level, dtype):
+                          dust_approximation, max_pixel_level, dtype,
+                          rates_mode: str = "table"):
     n = geom.nx
     n2 = 2 * n
     rmax = rmax_table()
     diag = RayDiagnostics.zeros(n_sources, dtype)
     rfb = RateFields(*[jnp.zeros(n ** 3, dtype) for _ in range(6)])
     rff = RateFields(*[jnp.zeros(n2 ** 3, dtype) for _ in range(6)])
+    fields_pk = {
+        "base": _pack_fields(fields["HI"], fields["HeI"], fields["HeII"],
+                             fields["nH"], fields["abun2"]),
+        "fine": _pack_fields(fields["HI_f"], fields["HeI_f"],
+                             fields["HeII_f"], fields["nH_f"],
+                             fields["abun2_f"]),
+        "refined": fields["refined"],
+    }
+    if rates_mode == "quadrature":
+        rate_ctx = ("quadrature", (jnp.asarray(tables["quad_A"], dtype),
+                                   jnp.asarray(tables["quad_W"], dtype)))
+    else:
+        rate_ctx = ("table", _pack_tables(tables["reaction_log"],
+                                          tables["energy_log"]))
     state = init_state
 
     sig_ratio = jnp.stack([
@@ -262,8 +290,8 @@ def _trace_all_phases_amr(fields, init_state, tables, geom, n_sources,
         src_of_ray = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32),
                                 rays_per_source)
         state, diag, rfb, rff = _march_phase_amr(
-            state, fields, geom, tables, diag, rfb, rff, r_stop, last,
-            dust_approximation, max_steps, src_of_ray)
+            state, fields_pk, geom, rate_ctx, diag, rfb, rff,
+            r_stop, last, dust_approximation, max_steps, src_of_ray)
 
         spec_tau = state.cross_depth @ sig_ratio
         contrib = jnp.where(state.crossed[:, None],
@@ -293,11 +321,14 @@ _TRACER_CACHE: dict = {}
 def trace_point_sources_amr(amr_state, geom, sources: SourceBatch, tables,
                             dust_approximation: int = NO_DUST,
                             max_pixel_level: int = MAX_PIXEL_LEVEL,
-                            dtype=jnp.float64):
+                            dtype=jnp.float64, rates_mode: str = "auto"):
     """Trace sources through a two-level AMRState.
 
     Returns (RateFields base, RateFields fine, RayDiagnostics).
+    rates_mode: see core.rays.trace_point_sources.
     """
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
     n = geom.nx
     n2 = 2 * n
     b, f = amr_state.base, amr_state.fine
@@ -319,11 +350,12 @@ def trace_point_sources_amr(amr_state, geom, sources: SourceBatch, tables,
         state, cell=jnp.clip((state.pos * n2).astype(jnp.int32), 0, n2 - 1))
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
     key = (geom, sources.n_sources, dust_approximation, max_pixel_level,
-           jnp.dtype(dtype).name)
+           jnp.dtype(dtype).name, rates_mode)
     if key not in _TRACER_CACHE:
         _TRACER_CACHE[key] = jax.jit(
             partial(_trace_all_phases_amr, geom=geom,
                     n_sources=sources.n_sources,
                     dust_approximation=dust_approximation,
-                    max_pixel_level=max_pixel_level, dtype=dtype))
+                    max_pixel_level=max_pixel_level, dtype=dtype,
+                    rates_mode=rates_mode))
     return _TRACER_CACHE[key](fields, state, tables_dev)

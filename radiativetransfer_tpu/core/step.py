@@ -70,17 +70,24 @@ class StellarContext:
         """
         i_spec, coef_spec = population.age_bracket(age_s)
         log_vol = float(np.log(geom.cell_volume))
-        reaction, energy = [], []
-        out = None
+        reaction, energy, quad_w = [], [], []
+        out = quad_a = None
         for i_metal, coef_metal in metal_coefs:
             t = stellar_tables.build_source_tables(
                 population, i_spec, coef_spec, i_metal, coef_metal, dust=dust)
             reaction.append(t.reaction_log - log_vol)
             energy.append(t.energy_log - log_vol)
             out = t
+            quad_a, w = stellar_tables.quadrature_arrays(
+                population, i_spec, coef_spec, i_metal, coef_metal, dust=dust)
+            quad_w.append(w / geom.cell_volume)
         tables = {
             "reaction_log": jnp.asarray(np.stack(reaction)),
             "energy_log": jnp.asarray(np.stack(energy)),
+            # direct-quadrature factors: the tracer's default fast path
+            # (core.rays._deposit_quadrature)
+            "quad_A": jnp.asarray(quad_a),
+            "quad_W": jnp.asarray(np.stack(quad_w)),
             "output_freq": jnp.asarray(out.output_freq),
             "output_sigma24": jnp.asarray(out.output_sigma24),
             "output_sigma25": jnp.asarray(out.output_sigma25),

@@ -294,6 +294,45 @@ def build_source_tables(pop: StellarPopulation, i_spec: int, coef_spec: float,
         output_sigma26=o26, output_sigma_dust=od)
 
 
+def quadrature_arrays(pop: StellarPopulation, i_spec: int, coef_spec: float,
+                      i_metal: int, coef_metal: float,
+                      nfreq: int = 400, freqdel: float = 0.02,
+                      dust: DustModel | None = None,
+                      dust_kind: int = SMC) -> tuple[np.ndarray, np.ndarray]:
+    """Direct spectral-quadrature form of the attenuation rates.
+
+    The 4-D tables of build_source_tables store
+      rate_c(tau) = sum_f W[f, c] * exp(-sum_i tau_i * A[i, f])
+    on an 11^4 grid (stellarBetaTable.f90:217-285).  This returns the
+    integrand factors themselves so the ray tracer can evaluate the SAME
+    sum exactly at arbitrary tau as two small matmuls plus an exp — an
+    MXU-friendly form with no table gathers (and no quad-linear
+    interpolation error; the reference interpolates,
+    equiSources.f90:4157-4311).
+
+    Returns (A, W): A (4, F) attenuation slopes [HI, HeI, HeII, dust] in
+    threshold-tau units; W (F, 6) weights [number bands 1..3, heat bands
+    1..3] ([1/s] and [erg/s] per unit ndot).
+    """
+    nu = xs.frequency_grid(nfreq, freqdel)
+    s24, s25, s26 = xs.sigma24(nu), xs.sigma25(nu), xs.sigma26(nu)
+    dustm = dust or DustModel()
+    sdust = dustm.sigma_at_energy_ev(nu, dust_kind)
+
+    lum = pop.luminosity(i_spec, coef_spec, i_metal, coef_metal, nu)
+    delta_nu = np.diff(nu)
+    f = nu[1:]
+    dtmp = lum[1:] / (f * EV_TO_ERG) * delta_nu * EV_TO_HZ
+
+    A = np.stack([s24[1:] / SIGMA24_AT_NU1, s26[1:] / SIGMA26_AT_NU2,
+                  s25[1:] / SIGMA25_AT_NU3, sdust[1:] / SIGMA_DUST_AT_NU1])
+    W = np.empty((len(f), 6))
+    for r, nu_r in enumerate((NU1, NU2, NU3)):
+        W[:, r] = np.where(f >= nu_r, dtmp, 0.0)
+        W[:, r + 3] = np.where(f >= nu_r, dtmp * (f - nu_r) * EV_TO_ERG, 0.0)
+    return A, W
+
+
 def interp_rates_4d(reaction_log, energy_log, tau1, tau2, tau3, tau_dust,
                     dust_on: bool = True):
     """Quad-linear log-space lookup of (numberRate, heatingRate)

@@ -77,6 +77,49 @@ class TestSourceTables:
             jnp.array([0.0]))
         assert float(num[0, 0]) == 0.0
 
+    def test_quadrature_matches_table_nodes(self, pop, src_tables):
+        """The direct spectral quadrature (core.rays._deposit_quadrature)
+        evaluates the same sum the 4-D tables store, so the two agree
+        exactly ON the tau grid nodes (between nodes the table
+        interpolates and the quadrature is exact)."""
+        tables, _ = src_tables
+        quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+        for tau in ([0.0, 0.0, 0.0, 0.0], [3.0, 2.0, 1.0, 0.0],
+                    [1.0, 0.0, 4.0, 2.0]):
+            t1, t2, t3, td = tau
+            num, heat = stellar.interp_rates_4d(
+                tables["reaction_log"][0], tables["energy_log"][0],
+                jnp.array([t1]), jnp.array([t2]), jnp.array([t3]),
+                jnp.array([td]))
+            e = np.exp(-(np.array(tau) @ quad_a))
+            for band in range(3):
+                num_q = float(e @ quad_w[:, band])
+                heat_q = float(e @ quad_w[:, band + 3])
+                assert float(num[band, 0]) == pytest.approx(num_q, rel=1e-6)
+                assert float(heat[band, 0]) == pytest.approx(heat_q, rel=1e-6)
+
+    def test_tracer_quadrature_close_to_table(self, pop, src_tables,
+                                              dev_tables):
+        """Full traces in the two rate modes agree to interpolation error."""
+        tables, total = src_tables
+        quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+        tables = dict(tables)
+        tables["quad_A"], tables["quad_W"] = quad_a, quad_w[None]
+        n = 16
+        geom = GridGeometry(n, n, n, 100 * KPC)
+        state = uniform_state(n, nh=1e-2, tgas=1e4, dtype=jnp.float64)
+        rf_t, _ = rays.trace_point_sources(state, geom, _center_source(n),
+                                           tables, max_pixel_level=3,
+                                           rates_mode="table")
+        rf_q, _ = rays.trace_point_sources(state, geom, _center_source(n),
+                                           tables, max_pixel_level=3,
+                                           rates_mode="quadrature")
+        tot_t = float(jnp.sum(rf_t.krate24))
+        tot_q = float(jnp.sum(rf_q.krate24))
+        assert tot_q == pytest.approx(tot_t, rel=0.02)
+        assert float(jnp.sum(rf_q.crate24)) == pytest.approx(
+            float(jnp.sum(rf_t.crate24)), rel=0.05)
+
 
 class TestPhotonConservation:
     def test_transparent_box_deposits_nothing(self, src_tables, dev_tables):
