@@ -42,6 +42,14 @@ def main(argv=None):
                     help="enable jax debug_nans (SURVEY.md 5.2 rebuild)")
     ap.add_argument("--dump-rates", action="store_true",
                     help="write rates.out / cool_rates.out like the reference")
+    ap.add_argument("--profile", default="",
+                    help="write a jax.profiler trace of the iteration loop "
+                         "to this directory (SURVEY.md 5.1 rebuild); view "
+                         "with tensorboard or xprof")
+    ap.add_argument("--ckpt-format", choices=("npz", "orbax"), default="npz",
+                    help="snapshot format: portable cellArray .npz (default) "
+                         "or orbax sharded checkpoint directories "
+                         "(io.checkpoint, the multi-host path)")
     args = ap.parse_args(argv)
 
     import jax
@@ -166,15 +174,30 @@ def main(argv=None):
     print(f"ionization equilibrium: {nf0:.8e}")
     itime = 0
     if cfg.restart:
-        snap = (os.path.join(args.snapshot_dir, cfg.restart_cell_array_name)
-                if cfg.restart_cell_array_name
-                else snapshot.latest_snapshot(args.snapshot_dir))
-        if snap:
-            if use_amr:
-                amr_state, itime = snapshot.read_snapshot_amr(snap, amr_state)
-            else:
-                state, itime = snapshot.read_snapshot(snap, state)
-            print(f"restarted from {snap} at itime={itime}")
+        if args.ckpt_format == "orbax":
+            from .io import checkpoint as ckpt_mod
+            path = ckpt_mod.latest_checkpoint(args.snapshot_dir)
+            if path:
+                cur = amr_state if use_amr else state
+                cur, meta = ckpt_mod.restore_sharded(path, cur)
+                itime = meta["itime"]
+                if use_amr:
+                    amr_state = cur
+                else:
+                    state = cur
+                print(f"restarted from {path} at itime={itime}")
+        else:
+            snap = (os.path.join(args.snapshot_dir,
+                                 cfg.restart_cell_array_name)
+                    if cfg.restart_cell_array_name
+                    else snapshot.latest_snapshot(args.snapshot_dir))
+            if snap:
+                if use_amr:
+                    amr_state, itime = snapshot.read_snapshot_amr(snap,
+                                                                  amr_state)
+                else:
+                    state, itime = snapshot.read_snapshot(snap, state)
+                print(f"restarted from {snap} at itime={itime}")
 
     tlog = snapshot.TimeLog(os.path.join(args.snapshot_dir, "time"))
     if use_amr:
@@ -183,6 +206,8 @@ def main(argv=None):
         step = model.make_step(stellar_ctx)
     max_iter = args.iters or cfg.max_iterations or 50
     prev_nf = np.inf
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     for _ in range(max_iter):
         itime += 1
         t0 = time.time()
@@ -214,7 +239,13 @@ def main(argv=None):
                      freq=np.asarray(stellar_ctx.tables["output_freq"]),
                      spectrum=spec)
         print(msg)
-        if use_amr:
+        if args.ckpt_format == "orbax":
+            from .io import checkpoint as ckpt_mod
+            ckpt_mod.save_sharded(
+                ckpt_mod.checkpoint_name(itime, args.snapshot_dir),
+                amr_state if use_amr else state, itime,
+                geom.physical_box_size)
+        elif use_amr:
             snapshot.write_snapshot_amr(
                 snapshot.snapshot_name(itime, args.snapshot_dir), amr_state,
                 itime, geom.physical_box_size)
@@ -226,6 +257,9 @@ def main(argv=None):
             print("converged")
             break
         prev_nf = nf
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
 
 
 if __name__ == "__main__":

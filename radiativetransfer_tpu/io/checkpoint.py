@@ -17,7 +17,7 @@ distributed state").
 
 from __future__ import annotations
 
-import dataclasses
+
 import json
 import os
 import re
@@ -55,10 +55,13 @@ def save_sharded(path: str, state, itime: int, physical_box_size: float,
     _require_orbax()
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, dataclasses.asdict(state))
+        # the field state is a registered dataclass pytree: orbax stores the
+        # leaves; the restore target supplies the structure, so this works
+        # for any state container (uniform FieldState, two-level AMRState)
+        ckptr.save(path, jax.tree_util.tree_leaves(state))
     meta = {"itime": int(itime),
             "physical_box_size": float(physical_box_size),
-            "shape": list(np.shape(state.rho))}
+            "shape": list(np.shape(jax.tree_util.tree_leaves(state)[0]))}
     if extra_meta:
         meta.update(extra_meta)
     with open(os.path.join(path, _META), "w") as fh:
@@ -92,12 +95,13 @@ def restore_sharded(path: str, like_state, mesh=None):
         def spec(x):
             return ocp.utils.to_shape_dtype_struct(x)
 
-    abstract = jax.tree_util.tree_map(spec, dataclasses.asdict(like_state))
+    leaves, treedef = jax.tree_util.tree_flatten(like_state)
+    abstract = [spec(x) for x in leaves]
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(path, abstract)
     with open(os.path.join(path, _META)) as fh:
         meta = json.load(fh)
-    state = type(like_state)(**restored)
+    state = jax.tree_util.tree_unflatten(treedef, restored)
     return state, meta
 
 
