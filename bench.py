@@ -68,6 +68,7 @@ def bench_rays() -> None:
               "output_sigma26": t.output_sigma26,
               "output_sigma_dust": t.output_sigma_dust}
     rates_mode = os.environ.get("BENCH_RAYS_MODE", "quadrature")
+    n_bands = int(os.environ.get("BENCH_BANDS", "3"))
     rng = np.random.default_rng(0)
     pos = rng.uniform(0.3, 0.7, (n_src, 3))
     pos = (np.floor(pos * n) + 0.5) / n
@@ -80,7 +81,8 @@ def bench_rays() -> None:
         rf, diag = rays.trace_point_sources(state, geom, src, tables,
                                             max_pixel_level=6,
                                             dtype=jnp.float32,
-                                            rates_mode=rates_mode)
+                                            rates_mode=rates_mode,
+                                            n_bands=n_bands)
         return float(jnp.sum(rf.krate24))
 
     run()  # compile

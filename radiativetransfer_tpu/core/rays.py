@@ -132,10 +132,13 @@ def _pack_fields(*cols):
     return jnp.stack([c.reshape(-1) for c in cols], axis=1)
 
 
+_ACTIVE_FIELDS = {1: (0, 3), 2: (0, 3, 2, 5), 3: (0, 1, 2, 3, 4, 5)}
+
+
 def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
                  diag: RayDiagnostics, rf: RateFields, r_stop: float,
                  last_phase: bool, dust_approximation: int, max_steps: int,
-                 src_of_ray):
+                 src_of_ray, n_bands: int = 3):
     """March all rays of one phase until they die or reach r_stop.
 
     fields_pk: packed (n^3, 5) array [HI, HeI, HeII, nH, abun2].
@@ -251,9 +254,16 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
             quad_A, quad_W = rate_ctx[1]
             dtau = jnp.stack([tau1, tau2, tau3], axis=1)
             deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
-                                          state.table_idx, w)
-        rf = RateFields(*(getattr(rf, f.name).at[idx].add(v)
-                          for f, v in zip(dataclasses.fields(rf), deposit)))
+                                          state.table_idx, w, n_bands)
+        # each scalar scatter-add costs ~0.65 ms/iter at 98k rays, so only
+        # the statically-active band channels issue one (H-only runs cut
+        # the deposit cost 3x via n_bands=1)
+        active_ch = _ACTIVE_FIELDS[n_bands]
+        rf = RateFields(*(
+            getattr(rf, f.name).at[idx].add(v) if fi in active_ch
+            else getattr(rf, f.name)
+            for fi, (f, v) in enumerate(zip(dataclasses.fields(rf),
+                                            deposit))))
 
         # ---- advance ----
         depth_new = state.depth + tau
@@ -302,7 +312,7 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
     return state, diag, rf
 
 
-def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w):
+def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w, n_bands=3):
     """Deposit diffs by direct spectral quadrature (no table gathers).
 
     rate_c(tau) = sum_f W[b, f, c] exp(-tau . A[:, f])  exactly as the 4-D
@@ -318,8 +328,9 @@ def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w):
     """
     e0 = jnp.exp(-(d0 @ quad_A))                     # (R, F)
     B = quad_W.shape[0]
-    out = {}
-    for j in range(3):
+    zero = jnp.zeros_like(w)
+    out = {j: (zero, zero) for j in range(3)}
+    for j in range(n_bands):
         fj = -jnp.expm1(-dtau[:, j:j + 1] * quad_A[j][None, :])
         g = e0 * fj                                  # (R, F)
         num = heat = 0.0
@@ -468,7 +479,8 @@ def _split_rays(state: _RayState, level: int, n: int, dtype,
 
 def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                       n_sources: int, dust_approximation: int,
-                      max_pixel_level: int, dtype, rates_mode: str = "table"):
+                      max_pixel_level: int, dtype, rates_mode: str = "table",
+                      n_bands: int = 3):
     """All phases of the trace; pure function of arrays, jitted via
     _get_tracer (the phase loop unrolls at trace time)."""
     n = geom.nx
@@ -501,7 +513,7 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                                 rays_per_source)
         state, diag, rf = _march_phase(
             state, fields_pk, geom, rate_ctx, diag, rf, r_stop, last,
-            dust_approximation, max_steps, src_of_ray)
+            dust_approximation, max_steps, src_of_ray, n_bands)
 
         # emergent spectrum from this phase's outer-radius crossings
         # (equiSources.f90:3206-3223)
@@ -533,24 +545,25 @@ _TRACER_CACHE: dict = {}
 
 
 def _get_tracer(geom, n_sources: int, dust_approximation: int,
-                max_pixel_level: int, dtype, rates_mode: str):
+                max_pixel_level: int, dtype, rates_mode: str, n_bands: int):
     """Compiled tracer, cached on the static configuration so repeated
     iterations reuse the executable."""
     key = (geom, n_sources, dust_approximation, max_pixel_level,
-           jnp.dtype(dtype).name, rates_mode)
+           jnp.dtype(dtype).name, rates_mode, n_bands)
     if key not in _TRACER_CACHE:
         _TRACER_CACHE[key] = jax.jit(
             partial(_trace_all_phases, geom=geom, n_sources=n_sources,
                     dust_approximation=dust_approximation,
                     max_pixel_level=max_pixel_level, dtype=dtype,
-                    rates_mode=rates_mode))
+                    rates_mode=rates_mode, n_bands=n_bands))
     return _TRACER_CACHE[key]
 
 
 def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
                         dust_approximation: int = NO_DUST,
                         max_pixel_level: int = MAX_PIXEL_LEVEL,
-                        dtype=jnp.float64, rates_mode: str = "auto"):
+                        dtype=jnp.float64, rates_mode: str = "auto",
+                        n_bands: int = 3):
     """Trace all sources; returns (RateFields on the grid, RayDiagnostics).
 
     state_fields: FieldState (dense (n,n,n) fields).
@@ -565,6 +578,10 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
     interpolation error, valid at any tau, and much faster on TPU — two
     matmuls instead of 32 gathers per segment); 'auto' picks quadrature
     when quad_A/quad_W are present.
+
+    n_bands (quadrature mode): number of frequency bands whose rate
+    channels are deposited (1 = H-only runs, e.g. the Stromgren
+    configuration — cuts the deposit scatters from 6 to 2).
     """
     if rates_mode == "auto":
         rates_mode = "quadrature" if "quad_A" in tables else "table"
@@ -581,7 +598,7 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
         state, cell=jnp.clip((state.pos * n).astype(jnp.int32), 0, n - 1))
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
     tracer = _get_tracer(geom, sources.n_sources, dust_approximation,
-                         max_pixel_level, dtype, rates_mode)
+                         max_pixel_level, dtype, rates_mode, n_bands)
     return tracer(fields, state, tables_dev)
 
 

@@ -98,6 +98,29 @@ class TestSourceTables:
                 assert float(num[band, 0]) == pytest.approx(num_q, rel=1e-6)
                 assert float(heat[band, 0]) == pytest.approx(heat_q, rel=1e-6)
 
+    def test_h_only_band_mode(self, pop, src_tables, dev_tables):
+        """n_bands=1 (H-only configs) deposits identical krate24/crate24
+        and zero He channels."""
+        tables, _ = src_tables
+        quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+        tables = dict(tables)
+        tables["quad_A"], tables["quad_W"] = quad_a, quad_w[None]
+        n = 16
+        geom = GridGeometry(n, n, n, 100 * KPC)
+        state = uniform_state(n, nh=1e-2, tgas=1e4, dtype=jnp.float64)
+        rf3, _ = rays.trace_point_sources(state, geom, _center_source(n),
+                                          tables, max_pixel_level=3,
+                                          rates_mode="quadrature", n_bands=3)
+        rf1, _ = rays.trace_point_sources(state, geom, _center_source(n),
+                                          tables, max_pixel_level=3,
+                                          rates_mode="quadrature", n_bands=1)
+        np.testing.assert_allclose(np.asarray(rf1.krate24),
+                                   np.asarray(rf3.krate24), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(rf1.crate24),
+                                   np.asarray(rf3.crate24), rtol=1e-12)
+        assert float(jnp.sum(jnp.abs(rf1.krate25))) == 0.0
+        assert float(jnp.sum(jnp.abs(rf1.crate26))) == 0.0
+
     def test_tracer_quadrature_close_to_table(self, pop, src_tables,
                                               dev_tables):
         """Full traces in the two rate modes agree to interpolation error."""
