@@ -46,6 +46,17 @@ def main(argv=None):
                     help="write a jax.profiler trace of the iteration loop "
                          "to this directory (SURVEY.md 5.1 rebuild); view "
                          "with tensorboard or xprof")
+    ap.add_argument("--chemistry", choices=("equilibrium", "noneq"),
+                    default="equilibrium",
+                    help="chemistry solver: the reference's ionization "
+                         "equilibrium (default) or the non-equilibrium "
+                         "9-species H/He/H2 network (core.chemistry_noneq) "
+                         "advanced by --dt-myr per iteration")
+    ap.add_argument("--dt-myr", type=float, default=1.0,
+                    help="noneq chemistry timestep per iteration [Myr]")
+    ap.add_argument("--evolve-energy", action="store_true",
+                    help="noneq mode: evolve the internal energy "
+                         "(photoheating vs cooling) instead of fixed T")
     ap.add_argument("--ckpt-format", choices=("npz", "orbax"), default="npz",
                     help="snapshot format: portable cellArray .npz (default) "
                          "or orbax sharded checkpoint directories "
@@ -148,7 +159,8 @@ def main(argv=None):
             population, batch, geom, 10.0 * MYR,
             metal_coefs=[(0, 0.0)], n_stars_specific_age=n_young,
             dust_approximation=cfg.dust_approximation,
-            max_pixel_level=args.max_pixel_level or 6)
+            max_pixel_level=args.max_pixel_level or 6,
+            noneq=args.chemistry == "noneq")
 
     # ---- model + iteration loop ----------------------------------------
     model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
@@ -200,7 +212,17 @@ def main(argv=None):
                 print(f"restarted from {snap} at itime={itime}")
 
     tlog = snapshot.TimeLog(os.path.join(args.snapshot_dir, "time"))
-    if use_amr:
+    species = None
+    if args.chemistry == "noneq":
+        if use_amr:
+            sys.exit("--chemistry noneq is uniform-grid only")
+        from .core import chemistry_noneq as cn
+        species = cn.species_from_field_state(state)
+        step = model.make_noneq_step(args.dt_myr * MYR, stellar_ctx,
+                                     evolve_energy=args.evolve_energy)
+        print(f"non-equilibrium chemistry: dt = {args.dt_myr} Myr, "
+              f"evolve_energy = {args.evolve_energy}")
+    elif use_amr:
         step = amodel.make_step(stellar_ctx)
     else:
         step = model.make_step(stellar_ctx)
@@ -219,6 +241,11 @@ def main(argv=None):
                 diag = None
             nf = amodel.neutral_fraction(amr_state)
             state = amr_state
+        elif species is not None:
+            out = step(state, species)
+            state, species = out[0], out[1]
+            diag = out[2] if len(out) > 2 else None
+            nf = model.neutral_fraction(state)
         else:
             out = step(state)
             state, diag = out if isinstance(out, tuple) else (out, None)

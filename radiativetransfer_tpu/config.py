@@ -50,6 +50,12 @@ class RunConfig:
     n_angular_level: int = 3             # 12*4**(L-1) sweep directions
     mesh_shape: tuple[int, ...] = ()     # () = single device
     max_iterations: int = 0              # 0 = run until externally stopped
+    # sweep distribution strategy: "auto" (GSPMD partitioning of the local
+    # sweep; Pallas kernel on TPU), or an explicit collective schedule on a
+    # 1-D mesh: "pipelined" (per-slab ppermute halo lines,
+    # parallel.sweep_dist), "zones" (angle decomposition + psum), "rdma"
+    # (in-kernel Pallas remote copies, parallel.sweep_rdma)
+    sweep_strategy: str = "auto"
 
     @property
     def self_shielding_threshold(self) -> float:

@@ -186,31 +186,35 @@ def _lookup_lin(table_2d, logtem):
     return lo + frac * (hi - lo)
 
 
-def _k13_density_dependent(k13dd_row, HI):
-    """Density-dependent H2 collisional dissociation rate.
+def _k13_density_dependent(k13dd_row, HI, tgas):
+    """Density-dependent H2 collisional dissociation rate [cm^3/s].
 
-    Combines the 7 fitted functions exactly as the reference's consumer
-    contract (colh2diss.f:20-47): log10(k13) = f1 - f2/(1 + (nH/f5)^f7)
-    + f3*exp(-nH/f4)... the reference stores the 7 fit coefficients; the
-    canonical Abel et al. (1997) composition is
-      log10 k13 = f1 - f2 / (1 + (n/f5)**f7) + f3 * exp(-n/f4)
-    with n = n_HI [cm^-3]; f6 unused in this branch (high-density plateau
-    folded into f5/f7).
+    Composes the 7 tabulated fit functions exactly as the reference's
+    consumer contract documents (colh2diss.f:110-113):
+
+      log10 k13 = f1 - f2/(1 + (nH/f5)^f7) + f3 - f4/(1 + (nH/f6)^f7)
+
+    with nH = n_HI [cm^-3].  f1/f2/f5 carry the direct collisional
+    dissociation process, f3/f4/f6 the dissociative tunnelling process
+    (Martin, Schwartz & Mandy 1996 fits; colh2diss.f:74-104), each as a
+    high-density-limit term with a low/high-density switch at its own
+    critical density.  Outside the fit's validity range (500 K < T < 1e6 K
+    the tabulated functions are sentinels; colh2diss.f:57-66) the rate is
+    floored to 1e-60, matching the reference's `CID = -60` convention.
     """
     f = tuple(k13dd_row[..., i] for i in range(7))
     n = jnp.maximum(HI, 1e-10)
     lognH = jnp.log10(n)
-    # Abel et al. 1997 eq. for CID: direct + dissociative tunnelling,
-    # each with a low/high-density interpolation in log n:
-    #   log k = logk_h + (logk_l - logk_h) / (1 + (n/n_cr)^p)
-    # reference tuple layout (colh2diss.f:49-120): f1=log k_h(direct),
-    # f2=log k_l(direct), f3,f4 = n_cr coefficients, f5..f7 analogous for
-    # the second process.  We use the dominant direct channel:
-    logk_h, logk_l = f[0], f[1]
-    logn_cr = f[2] + f[3] * lognH
-    x = jnp.clip(lognH - logn_cr, -30.0, 30.0)
-    logk = logk_h + (logk_l - logk_h) / (1.0 + 10.0 ** x)
-    return 10.0 ** jnp.clip(logk, -60.0, 0.0)
+    # (n/f5)^f7 evaluated in log space for overflow safety
+    x5 = jnp.clip(f[6] * (lognH - jnp.log10(jnp.maximum(f[4], 1e-30))),
+                  -30.0, 30.0)
+    x6 = jnp.clip(f[6] * (lognH - jnp.log10(jnp.maximum(f[5], 1e-30))),
+                  -30.0, 30.0)
+    logk = (f[0] - f[1] / (1.0 + 10.0 ** x5)
+            + f[2] - f[3] / (1.0 + 10.0 ** x6))
+    valid = (tgas > 500.0) & (tgas < 1.0e6)
+    logk = jnp.where(valid, jnp.clip(logk, -60.0, 0.0), -60.0)
+    return 10.0 ** logk
 
 
 def _substep_rates(sp: SpeciesState, k, photo: PhotoRates, k13):
@@ -365,7 +369,7 @@ def evolve_noneq(sp: SpeciesState, dt: float, tables: NoneqTablesDevice,
         kk = _lookup_log(tables.kcol, logtem)
         k = tuple(kk[..., i] for i in range(20))
         k13dd_row = _lookup_lin(tables.k13dd, logtem)
-        k13 = _k13_density_dependent(k13dd_row, sp.HI)
+        k13 = _k13_density_dependent(k13dd_row, sp.HI, tgas)
         k = k[:12] + (k13,) + k[13:]
 
         # --- timestep limiter ---------------------------------------------
@@ -376,7 +380,14 @@ def evolve_noneq(sp: SpeciesState, dt: float, tables: NoneqTablesDevice,
             jnp.abs(dedot), tiny)
         dt_hi = safety * jnp.maximum(sp.HI, 1e-6 * nh0) / jnp.maximum(
             jnp.abs(hidot), tiny)
-        dtit = jnp.minimum(jnp.minimum(dt_de, dt_hi), remaining)
+        # H2 can evolve on its own timescale while de/HI are static (e.g.
+        # pure Lyman-Werner dissociation), so it gets its own limiter; the
+        # 1e-6*nh floor keeps trace-level H2 from throttling ionized gas
+        h2dot = r["H2I"][0] - r["H2I"][1] * sp.H2I
+        dt_h2 = safety * jnp.maximum(sp.H2I, 1e-6 * nh0) / jnp.maximum(
+            jnp.abs(h2dot), tiny)
+        dtit = jnp.minimum(jnp.minimum(jnp.minimum(dt_de, dt_hi), dt_h2),
+                           remaining)
         if evolve_energy:
             cool = _cooling_rate(sp, tgas, tables, current_redshift)
             edot = photo.heat - cool

@@ -110,6 +110,20 @@ class RateFields:
     crate26: jax.Array
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NoneqRateFields(RateFields):
+    """RateFields plus the secondary photo channels of the non-equilibrium
+    network (quadrature mode only): PER-PARTICLE rates [1/s] for
+    k27 (H- detachment), k28/k30 (H2+), k29 (H2 ionization),
+    k31 (Lyman-Werner) — see tables.stellar.quadrature_noneq_weights."""
+    krate27: jax.Array
+    krate28: jax.Array
+    krate29: jax.Array
+    krate30: jax.Array
+    krate31: jax.Array
+
+
 def _base_directions(n_rays_per_source: int, level: int) -> np.ndarray:
     nside = 2 ** (level - 1)
     phi, theta = healpix.pix2ang_nest(nside, np.arange(n_rays_per_source))
@@ -251,15 +265,20 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
                 w * (v_in[:, 4] - v_a2[:, 4]),   # crate26
             )
         else:
-            quad_A, quad_W = rate_ctx[1]
+            quad_A, quad_W = rate_ctx[1][:2]
             dtau = jnp.stack([tau1, tau2, tau3], axis=1)
             deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
                                           state.table_idx, w, n_bands)
+            if rates_mode == "quadrature_noneq":
+                deposit = deposit + _deposit_noneq(
+                    d0, quad_A, rate_ctx[1][2], state.table_idx, w, plen)
         # each scalar scatter-add costs ~0.65 ms/iter at 98k rays, so only
         # the statically-active band channels issue one (H-only runs cut
         # the deposit cost 3x via n_bands=1)
         active_ch = _ACTIVE_FIELDS[n_bands]
-        rf = RateFields(*(
+        if rates_mode == "quadrature_noneq":
+            active_ch = active_ch + (6, 7, 8, 9, 10)
+        rf = type(rf)(*(
             getattr(rf, f.name).at[idx].add(v) if fi in active_ch
             else getattr(rf, f.name)
             for fi, (f, v) in enumerate(zip(dataclasses.fields(rf),
@@ -346,6 +365,25 @@ def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w, n_bands=3):
         out[j] = (w * num, w * heat)
     return (out[0][0], out[2][0], out[1][0],
             out[0][1], out[2][1], out[1][1])
+
+
+def _deposit_noneq(d0, quad_A, quad_W27, table_idx, w, plen):
+    """Secondary-channel per-particle photo rates k27..k31 [1/s] for one
+    segment: Gamma_c = ndot * plen/V * sum_f W27[f, c] exp(-tau . A[:, f])
+    (tables.stellar.quadrature_noneq_weights; the 1/V is folded into W27
+    at StellarContext.build).  Returns the 5 deposit arrays in
+    NoneqRateFields order [k27, k28, k29, k30, k31]."""
+    e0 = jnp.exp(-(d0 @ quad_A))                     # (R, F)
+    B = quad_W27.shape[0]
+    scale = w * plen
+    out = []
+    for c in range(5):
+        v = 0.0
+        for b in range(B):
+            vb = e0 @ quad_W27[b, :, c]
+            v = vb if B == 1 else v + jnp.where(table_idx == b, vb, 0.0)
+        out.append(scale * v)
+    return tuple(out)
 
 
 def _interp_flat(table_flat, table_idx, depths, dust_on):
@@ -486,13 +524,21 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
     n = geom.nx
     rmax = rmax_table()
     diag = RayDiagnostics.zeros(n_sources, dtype)
-    rf = RateFields(*[jnp.zeros(n * n * n, dtype) for _ in range(6)])
     fields_pk = _pack_fields(fields["HI"], fields["HeI"], fields["HeII"],
                              fields["nH"], fields["abun2"])
-    if rates_mode == "quadrature":
+    if rates_mode == "quadrature_noneq":
+        rf = NoneqRateFields(*[jnp.zeros(n * n * n, dtype)
+                               for _ in range(11)])
+        rate_ctx = ("quadrature_noneq",
+                    (jnp.asarray(tables["quad_A"], dtype),
+                     jnp.asarray(tables["quad_W"], dtype),
+                     jnp.asarray(tables["quad_W27"], dtype)))
+    elif rates_mode == "quadrature":
+        rf = RateFields(*[jnp.zeros(n * n * n, dtype) for _ in range(6)])
         rate_ctx = ("quadrature", (jnp.asarray(tables["quad_A"], dtype),
                                    jnp.asarray(tables["quad_W"], dtype)))
     else:
+        rf = RateFields(*[jnp.zeros(n * n * n, dtype) for _ in range(6)])
         rate_ctx = ("table", _pack_tables(tables["reaction_log"],
                                           tables["energy_log"]))
     state = init_state
@@ -577,7 +623,10 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
     'quadrature' evaluates the same spectral sum directly (exact, no
     interpolation error, valid at any tau, and much faster on TPU — two
     matmuls instead of 32 gathers per segment); 'auto' picks quadrature
-    when quad_A/quad_W are present.
+    when quad_A/quad_W are present; 'quadrature_noneq' additionally
+    deposits the secondary photo channels k27..k31 (requires 'quad_W27'
+    in tables; returns NoneqRateFields) for the non-equilibrium
+    chemistry mode.
 
     n_bands (quadrature mode): number of frequency bands whose rate
     channels are deposited (1 = H-only runs, e.g. the Stromgren

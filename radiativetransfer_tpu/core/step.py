@@ -59,7 +59,7 @@ class StellarContext:
               age_s: float, metal_coefs: list[tuple[int, float]],
               n_stars_specific_age: int | None = None,
               dust_approximation: int = 0, max_pixel_level: int = 6,
-              dust=None) -> "StellarContext":
+              dust=None, noneq: bool = False) -> "StellarContext":
         """Build stacked tables for the metallicity buckets at a fixed age
         slice (the reference uses timeReadTable = 10 Myr,
         equiSources.f90:1236).
@@ -70,7 +70,7 @@ class StellarContext:
         """
         i_spec, coef_spec = population.age_bracket(age_s)
         log_vol = float(np.log(geom.cell_volume))
-        reaction, energy, quad_w = [], [], []
+        reaction, energy, quad_w, quad_w27 = [], [], [], []
         out = quad_a = None
         for i_metal, coef_metal in metal_coefs:
             t = stellar_tables.build_source_tables(
@@ -81,6 +81,11 @@ class StellarContext:
             quad_a, w = stellar_tables.quadrature_arrays(
                 population, i_spec, coef_spec, i_metal, coef_metal, dust=dust)
             quad_w.append(w / geom.cell_volume)
+            if noneq:
+                w27 = stellar_tables.quadrature_noneq_weights(
+                    population, i_spec, coef_spec, i_metal, coef_metal,
+                    dust=dust)
+                quad_w27.append(w27 / geom.cell_volume)
         tables = {
             "reaction_log": jnp.asarray(np.stack(reaction)),
             "energy_log": jnp.asarray(np.stack(energy)),
@@ -94,6 +99,8 @@ class StellarContext:
             "output_sigma26": jnp.asarray(out.output_sigma26),
             "output_sigma_dust": jnp.asarray(out.output_sigma_dust),
         }
+        if noneq:
+            tables["quad_W27"] = jnp.asarray(np.stack(quad_w27))
         return cls(population=population, sources=sources, tables=tables,
                    n_stars_specific_age=(n_stars_specific_age
                                          or int(sources.weight.sum())),
@@ -118,6 +125,10 @@ class RTModel:
     uniform_stellar: float
     sweep_plan: sweep.SweepPlan | None
     alpha_bands: tuple[float, float, float] | None
+    # (3 bands, 8 channels 24..31) group ksi matrix and (3 bands, 3 species
+    # [HI, HeII, HeI]) group heating matrix for the non-equilibrium mode
+    ksi_all: jax.Array | None = None
+    gamma_matrix: jax.Array | None = None
 
     # ----- setup ---------------------------------------------------------
 
@@ -139,6 +150,8 @@ class RTModel:
         groups = None
         opacity_coef = None
         ksi_matrix = None
+        ksi_all = None
+        gamma_matrix = None
         alpha_bands = None
         uvb = np.zeros(3)
         if config.run_uvb_transfer:
@@ -162,6 +175,13 @@ class RTModel:
                 [g2.ksi[24], g2.ksi[25], g2.ksi[26]],
                 [g3.ksi[24], g3.ksi[25], g3.ksi[26]],
             ]), dtype)
+            # all 8 photo channels per band, for the non-equilibrium network
+            ksi_all = jnp.asarray(np.array(
+                [[g.ksi[c] for c in range(24, 32)] for g in (g1, g2, g3)]),
+                dtype)
+            gamma_matrix = jnp.asarray(np.array(
+                [[g.gammaHI, g.gammaHeII, g.gammaHeI] for g in (g1, g2, g3)]),
+                dtype)
 
         # reionization-history renormalization (equiSources.f90:259-289)
         if config.reionization_model:
@@ -182,7 +202,8 @@ class RTModel:
                    ksi_matrix=ksi_matrix, uvb=uvb,
                    uniform_quasar=uniform_quasar,
                    uniform_stellar=uniform_stellar, sweep_plan=sweep_plan,
-                   alpha_bands=alpha_bands)
+                   alpha_bands=alpha_bands, ksi_all=ksi_all,
+                   gamma_matrix=gamma_matrix)
 
     # ----- derived coefficients -----------------------------------------
 
@@ -207,6 +228,17 @@ class RTModel:
             FOUR_PI * (self.uniform_quasar * q.gammaHeII + self.uniform_stellar * s.gammaHeII),
             FOUR_PI * (self.uniform_quasar * q.gammaHeI + self.uniform_stellar * s.gammaHeI),
         )
+
+    @property
+    def photo_thin_all(self) -> np.ndarray:
+        """Optically-thin uniform-UVB rates [1/s] for all 8 photo channels
+        k24..k31 (the reference integrates its uniform ksi above nu1 only,
+        uniformTable.f90:137-192 — followed here)."""
+        q, s = self.quasar, self.stellar
+        return np.array([
+            FOUR_PI * (self.uniform_quasar * q.ksi[c]
+                       + self.uniform_stellar * s.ksi[c])
+            for c in range(24, 32)])
 
     # ----- setup-time equilibrium ----------------------------------------
 
@@ -290,20 +322,33 @@ class RTModel:
             run_uvb_transfer=cfg.run_uvb_transfer,
             n_iter=110 if state.rho.dtype == jnp.float64 else 60)
 
-    def make_step(self, stellar: StellarContext | None = None):
+    def make_step(self, stellar: StellarContext | None = None, mesh=None):
         """jit-compiled iteration step.  The point-source tracer keeps its
-        own compilation cache; the sweep+chemistry body is jitted here."""
+        own compilation cache; the sweep+chemistry body is jitted here.
+
+        With `mesh` (a jax.sharding.Mesh) the point-source phase runs
+        source-parallel across the mesh (parallel.rays_dist): sources are
+        sharded, fields all-gathered per shard, deposits reduce-scattered
+        back onto the grid decomposition."""
         if stellar is None:
             return jax.jit(self.transport_chemistry_step)
         rest = jax.jit(self._sweep_and_chemistry)
 
         def step(state: FieldState):
             state = state.zero_rates()
-            rf, diag = rays.trace_point_sources(
-                state, self.geom, stellar.sources, stellar.tables,
-                dust_approximation=stellar.dust_approximation,
-                max_pixel_level=stellar.max_pixel_level,
-                dtype=state.rho.dtype)
+            if mesh is not None:
+                from ..parallel import rays_dist
+                rf, diag = rays_dist.trace_point_sources_dist(
+                    state, self.geom, stellar.sources, stellar.tables, mesh,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.rho.dtype)
+            else:
+                rf, diag = rays.trace_point_sources(
+                    state, self.geom, stellar.sources, stellar.tables,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.rho.dtype)
             shape = state.shape
             state = dataclasses.replace(
                 state,
@@ -314,6 +359,128 @@ class RTModel:
                 crate25=rf.crate25.reshape(shape),
                 crate26=rf.crate26.reshape(shape))
             return rest(state), diag
+
+        return step
+
+    # ----- non-equilibrium chemistry mode ---------------------------------
+
+    def _assemble_photo_rates(self, state: FieldState, rf=None):
+        """Per-cell PhotoRates for the 9-species network from the transport
+        products: point-source deposits (krate/crate fields + the k27..k31
+        channels of a NoneqRateFields) plus diffuse-band or uniform-thin UVB
+        contributions.  Rate assembly mirrors solveRateEquations
+        (equiSources.f90:3519-3562) extended to the secondary channels."""
+        from . import chemistry_noneq as cn
+
+        cfg = self.config
+        nh, nhe = state.nh, state.nhe
+        HI, HeI, HeII = chemistry.clamp_species(nh, nhe, state.HI, state.HeI,
+                                                state.HeII)
+        k24 = chemistry.photo_rates_from_sources(state.krate24, HI)
+        k25 = chemistry.photo_rates_from_sources(state.krate25, HeII)
+        k26 = chemistry.photo_rates_from_sources(state.krate26, HeI)
+        heat = state.crate24 + state.crate25 + state.crate26  # [erg/cm^3/s]
+        k_sec = [0.0] * 5
+        if rf is not None and hasattr(rf, "krate27"):
+            shape = state.shape
+            k_sec = [rf.krate27.reshape(shape), rf.krate28.reshape(shape),
+                     rf.krate29.reshape(shape), rf.krate30.reshape(shape),
+                     rf.krate31.reshape(shape)]
+
+        if cfg.run_uvb_transfer:
+            j = FOUR_PI * state.Jmean                      # (3, nx, ny, nz)
+            ch = jnp.tensordot(self.ksi_all, j, axes=([0], [0]))  # (8, ...)
+            k24, k25, k26 = k24 + ch[0], k25 + ch[1], k26 + ch[2]
+            k_sec = [k + ch[3 + i] for i, k in enumerate(k_sec)]
+            gm = self.gamma_matrix
+            heat = heat + (
+                jnp.tensordot(gm[:, 0], j, axes=([0], [0])) * HI
+                + jnp.tensordot(gm[:, 1], j, axes=([0], [0])) * HeII
+                + jnp.tensordot(gm[:, 2], j, axes=([0], [0])) * HeI)
+        else:
+            thin_all = self.photo_thin_all
+            u24, u25, u26 = chemistry.uniform_photo_rates(
+                HI, HeI, HeII, cfg.self_shielding_threshold,
+                tuple(thin_all[:3]))
+            # the same self-shielding switch gates the secondary channels
+            shielded_off = jnp.where(u24 > 0.0, 1.0, 0.0)
+            k24, k25, k26 = k24 + u24, k25 + u25, k26 + u26
+            k_sec = [k + float(thin_all[3 + i]) * shielded_off
+                     for i, k in enumerate(k_sec)]
+            ht = self.heat_thin
+            heat = heat + shielded_off * (ht[0] * HI + ht[1] * HeII
+                                          + ht[2] * HeI)
+
+        return cn.PhotoRates(k24=k24, k25=k25, k26=k26,
+                             k27=k_sec[0], k28=k_sec[1], k29=k_sec[2],
+                             k30=k_sec[3], k31=k_sec[4], heat=heat)
+
+    def make_noneq_step(self, dt: float, stellar: StellarContext | None = None,
+                        noneq_tables=None, n_substeps: int = 200,
+                        evolve_energy: bool = False, f_h2: float = 0.0):
+        """Transport + NON-EQUILIBRIUM chemistry iteration advancing the
+        9-species network by dt [s] per step (the capability the reference
+        built its k1..k19/k13dd/sigma24..31 tables for but never wired;
+        coll_rates.f:3-234, colh2diss.f:3-120).
+
+        Returns step(state, species) -> (state, species[, diag]): `state` is
+        the FieldState the transport sees (HI/HeI/HeII synced from the
+        species each step), `species` the chemistry_noneq.SpeciesState.
+        Use chemistry_noneq.species_from_field_state to initialize.
+        """
+        from . import chemistry_noneq as cn
+
+        if noneq_tables is None:
+            noneq_tables = cn.NoneqTablesDevice.from_tables(
+                self.tables, jnp.float64 if jax.config.jax_enable_x64
+                else jnp.float32)
+        cfg = self.config
+
+        def sweep_and_evolve(state: FieldState, species, rf):
+            if cfg.run_uvb_transfer:
+                kappa = opacity.compute_opacities(
+                    state.HI, state.HeI, state.HeII, self.opacity_coef)
+                jmean = sweep.diffuse_sweep(
+                    kappa, self.sweep_plan, jnp.asarray(self.uvb, kappa.dtype),
+                    self.geom.cell_size)
+                state = dataclasses.replace(state, Jmean=jmean)
+            photo = self._assemble_photo_rates(state, rf)
+            species = cn.evolve_noneq(
+                species, dt, noneq_tables, photo=photo,
+                n_substeps=n_substeps, evolve_energy=evolve_energy,
+                tgas_fixed=None if evolve_energy else state.tgas,
+                current_redshift=cfg.current_redshift)
+            state = dataclasses.replace(
+                state, HI=species.HI.astype(state.HI.dtype),
+                HeI=species.HeI.astype(state.HI.dtype),
+                HeII=species.HeII.astype(state.HI.dtype),
+                tgas=(species.tgas.astype(state.tgas.dtype)
+                      if evolve_energy else state.tgas))
+            return state, species
+
+        if stellar is None:
+            return jax.jit(lambda state, species: sweep_and_evolve(
+                state.zero_rates(), species, None))
+        rest = jax.jit(sweep_and_evolve)
+
+        def step(state: FieldState, species):
+            state = state.zero_rates()
+            rf, diag = rays.trace_point_sources(
+                state, self.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.rho.dtype, rates_mode="quadrature_noneq")
+            shape = state.shape
+            state = dataclasses.replace(
+                state,
+                krate24=rf.krate24.reshape(shape),
+                krate25=rf.krate25.reshape(shape),
+                krate26=rf.krate26.reshape(shape),
+                crate24=rf.crate24.reshape(shape),
+                crate25=rf.crate25.reshape(shape),
+                crate26=rf.crate26.reshape(shape))
+            state, species = rest(state, species, rf)
+            return state, species, diag
 
         return step
 

@@ -333,6 +333,41 @@ def quadrature_arrays(pop: StellarPopulation, i_spec: int, coef_spec: float,
     return A, W
 
 
+def quadrature_noneq_weights(pop: StellarPopulation, i_spec: int,
+                             coef_spec: float, i_metal: int,
+                             coef_metal: float,
+                             nfreq: int = 400, freqdel: float = 0.02,
+                             dust: DustModel | None = None,
+                             dust_kind: int = SMC) -> np.ndarray:
+    """Sigma-weighted photon-count spectra for the secondary photo channels
+    k27..k31 (H- detachment, H2+/H2 photo-processes, Lyman-Werner).
+
+    The reference never deposits these from rays (its non-equilibrium
+    network was never wired up); this supplies the missing transport ->
+    chemistry coupling for the noneq mode.  The per-cell per-particle rate
+    estimator for channel c along a ray segment is
+
+      Gamma_c = ndot * plen / V * sum_f sigma_c(f) W_f exp(-tau . A[:, f])
+
+    (photon flux through the cell x cross-section), evaluated with the same
+    attenuation slopes A as quadrature_arrays — sub-Lyman-limit photons
+    (e.g. the 11.3-13.6 eV LW band, sigma31) pass unattenuated by HI/HeI/
+    HeII exactly as they should since their sigma rows vanish there.
+
+    Returns W27 (F, 5): columns [k27, k28, k29, k30, k31], units
+    photons/s * cm^2 per unit ndot; the tracer divides by cell volume and
+    multiplies by the physical segment length.
+    """
+    nu = xs.frequency_grid(nfreq, freqdel)
+    sig = {c: getattr(xs, f"sigma{c}")(nu) for c in (27, 28, 29, 30, 31)}
+    lum = pop.luminosity(i_spec, coef_spec, i_metal, coef_metal, nu)
+    delta_nu = np.diff(nu)
+    f = nu[1:]
+    dtmp = lum[1:] / (f * EV_TO_ERG) * delta_nu * EV_TO_HZ  # photons/s per bin
+    return np.stack([dtmp * sig[c][1:] for c in (27, 28, 29, 30, 31)],
+                    axis=-1)
+
+
 def interp_rates_4d(reaction_log, energy_log, tau1, tau2, tau3, tau_dust,
                     dust_on: bool = True):
     """Quad-linear log-space lookup of (numberRate, heatingRate)

@@ -130,3 +130,78 @@ class TestShardedSweep:
         state_sh = pmesh.shard_state(state, mesh)
         out = jax.jit(model.transport_chemistry_step)(state_sh)
         assert len(out.HI.sharding.device_set) == 8
+
+
+@needs_devices
+class TestDistributedRays:
+    """Source-parallel point-source tracing (parallel.rays_dist) vs the
+    single-device tracer — VERDICT round-1 item 1."""
+
+    def _setup(self, n_sources):
+        from radiativetransfer_tpu.constants import MYR
+        from radiativetransfer_tpu.core import rays
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        n = 16
+        cfg = RunConfig(mode=8, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 50.0 * KPC)
+        state = uniform_state(n, nh=1e-3, tgas=1e4, dtype=jnp.float64)
+        rng = np.random.default_rng(11)
+        batch = rays.SourceBatch(
+            position=rng.uniform(0.15, 0.85, (n_sources, 3)),
+            weight=rng.integers(1, 4, n_sources).astype(np.float64),
+            table_idx=np.zeros(n_sources, np.int32))
+        pop = stellar_tables.blackbody_population()
+        ctx = step_mod.StellarContext.build(
+            pop, batch, geom, 10.0 * MYR, metal_coefs=[(0, 0.0)],
+            max_pixel_level=3)
+        return state, geom, ctx
+
+    @pytest.mark.parametrize("n_sources", [8, 5])  # exact and padded splits
+    def test_matches_single_device(self, n_sources):
+        from radiativetransfer_tpu.core import rays
+        from radiativetransfer_tpu.parallel import rays_dist
+        state, geom, ctx = self._setup(n_sources)
+        rf_s, diag_s = rays.trace_point_sources(
+            state, geom, ctx.sources, ctx.tables, max_pixel_level=3,
+            dtype=jnp.float64)
+        mesh = pmesh.make_grid_mesh(8)
+        state_sh = pmesh.shard_state(state, mesh)
+        rf_d, diag_d = rays_dist.trace_point_sources_dist(
+            state_sh, geom, ctx.sources, ctx.tables, mesh,
+            max_pixel_level=3, dtype=jnp.float64)
+        n = geom.nx
+        np.testing.assert_allclose(
+            np.asarray(rf_d.krate24), np.asarray(rf_s.krate24).reshape(n, n, n),
+            rtol=1e-12, atol=1e-300)
+        np.testing.assert_allclose(
+            np.asarray(rf_d.crate25), np.asarray(rf_s.crate25).reshape(n, n, n),
+            rtol=1e-12, atol=1e-300)
+        for f in ("ndot_remaining", "ndot_boundary", "ndot_spectrum"):
+            np.testing.assert_allclose(np.asarray(getattr(diag_d, f)),
+                                       np.asarray(getattr(diag_s, f)),
+                                       rtol=1e-12)
+        # deposits stay on the grid decomposition (no silent gather)
+        assert len(rf_d.krate24.sharding.device_set) == 8
+
+    def test_full_stellar_step_sharded(self):
+        """make_step(stellar, mesh) on a sharded FieldState: mode-8
+        transport+chemistry parity with the single-device step."""
+        state, geom, ctx = self._setup(6)
+        cfg = RunConfig(mode=8, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        out_s, diag_s = model.make_step(ctx)(state)
+
+        mesh = pmesh.make_grid_mesh(8)
+        state_sh = pmesh.shard_state(state, mesh)
+        out_d, diag_d = model.make_step(ctx, mesh=mesh)(state_sh)
+        np.testing.assert_allclose(np.asarray(out_d.HI),
+                                   np.asarray(out_s.HI), rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(out_d.krate24),
+                                   np.asarray(out_s.krate24), rtol=1e-11,
+                                   atol=1e-300)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_s.ndot_remaining),
+                                   rtol=1e-11)
+        assert len(out_d.HI.sharding.device_set) == 8
