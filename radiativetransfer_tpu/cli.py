@@ -46,6 +46,23 @@ def main(argv=None):
                     help="write a jax.profiler trace of the iteration loop "
                          "to this directory (SURVEY.md 5.1 rebuild); view "
                          "with tensorboard or xprof")
+    ap.add_argument("--sweep-strategy", default="",
+                    choices=("", "auto", "pipelined", "zones", "rdma"),
+                    help="override cfg.sweep_strategy: auto (GSPMD), or an "
+                         "explicit collective schedule on the device mesh "
+                         "(pipelined = per-slab ppermute halo lines, zones = "
+                         "angle decomposition + psum, rdma = in-kernel "
+                         "Pallas remote copies)")
+    ap.add_argument("--mesh-shape", default="",
+                    help="device mesh for distributed runs, e.g. '8' (1-D) "
+                         "or '2,4' (2-D over the last two grid axes); "
+                         "overrides cfg.mesh_shape")
+    ap.add_argument("--coordinator", default="",
+                    help="multi-host: coordinator address host:port for "
+                         "jax.distributed.initialize (also honours "
+                         "JAX_COORDINATOR_ADDRESS etc.)")
+    ap.add_argument("--num-processes", type=int, default=0)
+    ap.add_argument("--process-id", type=int, default=-1)
     ap.add_argument("--chemistry", choices=("equilibrium", "noneq"),
                     default="equilibrium",
                     help="chemistry solver: the reference's ionization "
@@ -81,9 +98,26 @@ def main(argv=None):
     from .tables import stellar as stellar_tables
     from .constants import KPC, MYR
 
+    # multi-host runtime (SURVEY.md §5.8): must come before first jax use
+    from .parallel import mesh as pmesh
+    if pmesh.maybe_initialize_distributed(
+            args.coordinator or None, args.num_processes or None,
+            args.process_id if args.process_id >= 0 else None):
+        print(f"jax.distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} devices")
+
     cfg = load_config(args.config)
     if args.angular_level:
         cfg.n_angular_level = args.angular_level
+    if args.sweep_strategy:
+        cfg.sweep_strategy = args.sweep_strategy
+    if args.mesh_shape:
+        cfg.mesh_shape = tuple(int(x) for x in args.mesh_shape.split(","))
+    mesh = None
+    if cfg.mesh_shape or cfg.sweep_strategy != "auto":
+        mesh = pmesh.make_grid_mesh(shape=cfg.mesh_shape or None)
+        print(f"device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+              f" strategy = {cfg.sweep_strategy}")
     dtype = jnp.float64 if args.x64 else jnp.float32
     print(f"mode = {cfg.mode}   grid = {cfg.grid}   z = {cfg.current_redshift}")
 
@@ -223,9 +257,13 @@ def main(argv=None):
         print(f"non-equilibrium chemistry: dt = {args.dt_myr} Myr, "
               f"evolve_energy = {args.evolve_energy}")
     elif use_amr:
+        if mesh is not None:
+            print("warning: mesh/sweep-strategy ignored on the AMR path")
         step = amodel.make_step(stellar_ctx)
     else:
-        step = model.make_step(stellar_ctx)
+        if mesh is not None:
+            state = pmesh.shard_state(state, mesh)
+        step = model.make_step(stellar_ctx, mesh=mesh)
     max_iter = args.iters or cfg.max_iterations or 50
     prev_nf = np.inf
     if args.profile:

@@ -264,7 +264,8 @@ class RTModel:
     # ----- the iteration -------------------------------------------------
 
     def transport_chemistry_step(self, state: FieldState,
-                                 stellar: StellarContext | None = None
+                                 stellar: StellarContext | None = None,
+                                 mesh=None
                                  ) -> FieldState | tuple[FieldState, "rays.RayDiagnostics"]:
         """One full transport + chemistry iteration (pure function of state;
         jit this or use make_step()).  With a StellarContext the point-source
@@ -291,28 +292,56 @@ class RTModel:
                 crate25=rf.crate25.reshape(shape),
                 crate26=rf.crate26.reshape(shape))
 
-        state = self._sweep_and_chemistry(state)
+        state = self._sweep_and_chemistry(state, mesh)
         if diag is not None:
             return state, diag
         return state
 
-    def _sweep_and_chemistry(self, state: FieldState) -> FieldState:
+    def _run_sweep(self, kappa, mesh=None):
+        """Dispatch the configured sweep strategy (cfg.sweep_strategy).
+
+        "auto": local sweep partitioned by GSPMD when the input is sharded
+        (Pallas wavefront kernel on TPU, lax.scan elsewhere).  The explicit
+        collective schedules need a 1-D `mesh`: "pipelined"/"rdma" keep the
+        grid decomposition and exchange per-slab halo lines
+        (parallel.sweep_dist / parallel.sweep_rdma), "zones" replicates the
+        field and decomposes over octant zones with a psum.
+        """
+        cfg = self.config
+        uvb = jnp.asarray(self.uvb, kappa.dtype)
+        cell = self.geom.cell_size
+        strategy = cfg.sweep_strategy
+        if strategy != "auto" and mesh is None:
+            raise ValueError(f"sweep_strategy={strategy!r} needs a mesh")
+        if strategy == "pipelined":
+            from ..parallel import sweep_dist
+            return sweep_dist.diffuse_sweep_pipelined(
+                kappa, self.sweep_plan, uvb, cell, mesh)
+        if strategy == "zones":
+            from ..parallel import sweep_dist
+            return sweep_dist.diffuse_sweep_zone_parallel(
+                kappa, self.sweep_plan, uvb, cell, mesh)
+        if strategy == "rdma":
+            from ..parallel import sweep_rdma
+            return sweep_rdma.diffuse_sweep_rdma(
+                kappa, self.sweep_plan, uvb, cell, mesh,
+                interpret=jax.devices()[0].platform == "cpu")
+        if strategy != "auto":
+            raise ValueError(f"unknown sweep_strategy {strategy!r}")
+        if cfg.use_pallas_sweep and jax.devices()[0].platform not in ("cpu",):
+            from . import sweep_pallas
+            return sweep_pallas.diffuse_sweep_pallas(
+                kappa, self.sweep_plan, uvb, cell)
+        return sweep.diffuse_sweep(kappa, self.sweep_plan, uvb, cell)
+
+    def _sweep_and_chemistry(self, state: FieldState,
+                             mesh=None) -> FieldState:
         cfg = self.config
         if cfg.run_uvb_transfer:
             kappa = opacity.compute_opacities(state.HI, state.HeI, state.HeII,
                                               self.opacity_coef)
-            use_pallas = (cfg.use_pallas_sweep
-                          and jax.devices()[0].platform not in ("cpu",))
-            if use_pallas:
-                from . import sweep_pallas
-                jmean = sweep_pallas.diffuse_sweep_pallas(
-                    kappa, self.sweep_plan, jnp.asarray(self.uvb, kappa.dtype),
-                    self.geom.cell_size)
-            else:
-                jmean = sweep.diffuse_sweep(kappa, self.sweep_plan,
-                                            jnp.asarray(self.uvb, kappa.dtype),
-                                            self.geom.cell_size)
-            state = dataclasses.replace(state, Jmean=jmean)
+            state = dataclasses.replace(state,
+                                        Jmean=self._run_sweep(kappa, mesh))
 
         return chemistry.solve_rate_equations(
             state, self.geom, self.dev_tables,
@@ -331,8 +360,9 @@ class RTModel:
         sharded, fields all-gathered per shard, deposits reduce-scattered
         back onto the grid decomposition."""
         if stellar is None:
-            return jax.jit(self.transport_chemistry_step)
-        rest = jax.jit(self._sweep_and_chemistry)
+            return jax.jit(lambda state: self.transport_chemistry_step(
+                state, mesh=mesh))
+        rest = jax.jit(lambda state: self._sweep_and_chemistry(state, mesh))
 
         def step(state: FieldState):
             state = state.zero_rates()
@@ -440,10 +470,8 @@ class RTModel:
             if cfg.run_uvb_transfer:
                 kappa = opacity.compute_opacities(
                     state.HI, state.HeI, state.HeII, self.opacity_coef)
-                jmean = sweep.diffuse_sweep(
-                    kappa, self.sweep_plan, jnp.asarray(self.uvb, kappa.dtype),
-                    self.geom.cell_size)
-                state = dataclasses.replace(state, Jmean=jmean)
+                state = dataclasses.replace(state,
+                                            Jmean=self._run_sweep(kappa))
             photo = self._assemble_photo_rates(state, rf)
             species = cn.evolve_noneq(
                 species, dt, noneq_tables, photo=photo,

@@ -1,48 +1,111 @@
 """Device mesh and sharding helpers.
 
 The reference is serial (SURVEY.md §5.8); this layer is the new distributed
-runtime: a 1-D (or 3-D) `jax.sharding.Mesh` over the grid, NamedSharding
+runtime: a 1-D/2-D/3-D `jax.sharding.Mesh` over the grid, NamedSharding
 annotations on the field state, and XLA-inserted collectives for the sweep's
 halo exchanges.  The sweep's shifted-slice accesses along a sharded axis
 lower to collective-permutes on ICI under GSPMD; the slab scan along a
 sharded axis becomes the per-direction pipeline of SURVEY.md §7.3.
+
+Multi-host: `maybe_initialize_distributed` brings up the jax.distributed
+runtime when launched under a coordinator (explicit flags or the standard
+JAX_COORDINATOR_ADDRESS / cloud-TPU auto-detect environment), after which
+`jax.devices()` spans all hosts and the same mesh/sharding code runs
+unchanged over ICI+DCN.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# mesh axis names, innermost (fastest-varying grid axis) last: a k-D mesh
+# shards the LAST k spatial axes of (nx, ny, nz) fields in order
+_AXIS_NAMES = ("gx", "gy", "gz")
+
+
+def maybe_initialize_distributed(coordinator: str | None = None,
+                                 num_processes: int | None = None,
+                                 process_id: int | None = None) -> bool:
+    """Initialize the multi-host runtime if configured; returns True when
+    jax.distributed is active.
+
+    Explicit arguments win; otherwise the standard environment is used
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    cloud-TPU metadata auto-detection built into jax.distributed).  Safe to
+    call twice (a second call is a no-op).
+    """
+    env = os.environ
+    configured = (coordinator or env.get("JAX_COORDINATOR_ADDRESS")
+                  or env.get("COORDINATOR_ADDRESS"))
+    if not configured:
+        return False
+    state = jax.distributed.global_state
+    if getattr(state, "client", None) is not None:
+        return True
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
 
 def make_grid_mesh(n_devices: int | None = None,
-                   axis_names: tuple[str, ...] = ("gx",)) -> Mesh:
-    """1-D mesh over all (or the first n) devices."""
+                   axis_names: tuple[str, ...] | None = None,
+                   shape: tuple[int, ...] | None = None) -> Mesh:
+    """Device mesh over the grid decomposition.
+
+    * `shape=None`: 1-D mesh over all (or the first n_devices) devices —
+      the grid's last axis is the decomposed one.
+    * `shape=(py, pz)` or `(px, py, pz)`: 2-D/3-D mesh; the grid's last
+      len(shape) axes are decomposed in order.  At pod scale a 1-D slice
+      decomposition stops at nz shards; the 2-D/3-D meshes keep per-shard
+      faces large while spanning more chips (SURVEY.md §5.8).
+    """
     devices = jax.devices()
+    if shape is not None and len(shape) > 1:
+        names = axis_names or _AXIS_NAMES[-len(shape):]
+        n = int(np.prod(shape))
+        return Mesh(np.array(devices[:n]).reshape(shape), names)
+    if shape is not None:
+        n_devices = shape[0]
     if n_devices is not None:
         devices = devices[:n_devices]
-    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    return Mesh(np.array(devices).reshape(shape), axis_names)
+    names = axis_names or (_AXIS_NAMES[-1],)
+    mesh_shape = (len(devices),) + (1,) * (len(names) - 1)
+    return Mesh(np.array(devices).reshape(mesh_shape), names)
+
+
+def _grid_spec(mesh: Mesh) -> tuple:
+    """PartitionSpec entries for the 3 spatial axes: the mesh's k axes map
+    onto the last k grid axes in order."""
+    k = len(mesh.axis_names)
+    return (None,) * (3 - k) + tuple(mesh.axis_names)
 
 
 def field_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
-    """Shard a (nx, ny, nz[, ...]) field along its LAST spatial axis.
+    """Shard an (nx, ny, nz) field over the mesh (last axes decomposed).
 
-    The last axis is chosen because the sweep's scan walks axis 0 of the
-    rotated field: for 16 of the 24 zones the scan axis is unsharded and the
-    per-slab halos are 1-plane collective-permutes; only the 8 zones whose
-    scan axis maps to the sharded grid axis pipeline across devices.
+    For the 1-D mesh the last axis is chosen because the sweep's scan walks
+    axis 0 of the rotated field: for 16 of the 24 zones the scan axis is
+    unsharded and the per-slab halos are 1-plane collective-permutes; only
+    the 8 zones whose scan axis maps to the sharded grid axis pipeline
+    across devices.
     """
-    spec = [None] * ndim
-    spec[2] = mesh.axis_names[0]
-    return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P(*_grid_spec(mesh)))
 
 
 def band_field_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (3, nx, ny, nz) band-stacked fields."""
-    return NamedSharding(mesh, P(None, None, None, mesh.axis_names[0]))
+    return NamedSharding(mesh, P(None, *_grid_spec(mesh)))
 
 
 def shard_state(state, mesh: Mesh):

@@ -68,7 +68,9 @@ def trace_point_sources_dist(state_fields, geom, sources: SourceBatch,
     """
     if rates_mode == "auto":
         rates_mode = "quadrature" if "quad_A" in tables else "table"
-    axis = mesh.axis_names[0]
+    from .mesh import _grid_spec
+    axes = mesh.axis_names          # k mesh axes -> last k grid axes
+    grid_entries = _grid_spec(mesh)
     n_shards = int(np.prod(mesh.devices.shape))
     n = geom.nx
 
@@ -91,29 +93,43 @@ def trace_point_sources_dist(state_fields, geom, sources: SourceBatch,
     }
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
 
-    field_spec = P(None, None, axis)
-    ray_spec = jax.tree_util.tree_map(lambda _: P(axis), init_state)
+    field_spec = P(*grid_entries)
+    src_axis = axes[0] if len(axes) == 1 else tuple(axes)
+    ray_spec = jax.tree_util.tree_map(lambda _: P(src_axis), init_state)
+    sharded_dims = [(d, name) for d, name in enumerate(grid_entries)
+                    if name is not None]
 
     def worker(fields, init_state, tables_dev):
-        # one all-gather per field: replicate the grid for random access
-        full = {k: jax.lax.all_gather(v, axis, axis=2, tiled=True).reshape(-1)
-                for k, v in fields.items()}
+        # one all-gather per (field, mesh axis): replicate the grid for
+        # the tracer's random-access gathers
+        def gather(v):
+            for d, name in sharded_dims:
+                v = jax.lax.all_gather(v, name, axis=d, tiled=True)
+            return v.reshape(-1)
+
+        full = {k: gather(v) for k, v in fields.items()}
         rf, diag = rays_mod._trace_all_phases(
             full, init_state, tables_dev, geom=geom, n_sources=s_local,
             dust_approximation=dust_approximation,
             max_pixel_level=max_pixel_level, dtype=dtype,
             rates_mode=rates_mode, n_bands=n_bands)
-        # reduce-scatter each deposit field onto the grid decomposition
-        rf = jax.tree_util.tree_map(
-            lambda x: jax.lax.psum_scatter(
-                x.reshape(n, n, n), axis, scatter_dimension=2, tiled=True),
-            rf)
+
+        # reduce-scatter each deposit field onto the grid decomposition,
+        # one mesh axis at a time (sum over all shards, scattered back)
+        def scatter(x):
+            x = x.reshape(n, n, n)
+            for d, name in sharded_dims:
+                x = jax.lax.psum_scatter(x, name, scatter_dimension=d,
+                                         tiled=True)
+            return x
+
+        rf = jax.tree_util.tree_map(scatter, rf)
         return rf, diag
 
     out_specs = (
         jax.tree_util.tree_map(lambda _: field_spec,
                                _rate_fields_struct(rates_mode, n, dtype)),
-        jax.tree_util.tree_map(lambda _: P(axis),
+        jax.tree_util.tree_map(lambda _: P(src_axis),
                                RayDiagnostics.zeros(1, dtype)),
     )
     # check_vma off: the tracer's zero-initialized loop carries are

@@ -205,3 +205,81 @@ class TestDistributedRays:
                                    np.asarray(diag_s.ndot_remaining),
                                    rtol=1e-11)
         assert len(out_d.HI.sharding.device_set) == 8
+
+
+@needs_devices
+class TestMeshGeneralization:
+    """2-D meshes and the cfg.sweep_strategy knob through the production
+    step (VERDICT round-1 item 4)."""
+
+    def _model_state(self, n=16):
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 300.0 * KPC)
+        model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        state = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float64)
+        return model, state
+
+    def test_2d_mesh_full_step(self):
+        model, state = self._model_state()
+        out_single = jax.jit(model.transport_chemistry_step)(state)
+        mesh = pmesh.make_grid_mesh(shape=(2, 4))
+        assert mesh.axis_names == ("gy", "gz")
+        state_sh = pmesh.shard_state(state, mesh)
+        assert len(state_sh.HI.sharding.device_set) == 8
+        out = jax.jit(model.transport_chemistry_step)(state_sh)
+        np.testing.assert_allclose(np.asarray(out.HI),
+                                   np.asarray(out_single.HI), rtol=1e-11)
+        assert len(out.HI.sharding.device_set) == 8
+
+    def test_2d_mesh_distributed_rays(self):
+        from radiativetransfer_tpu.constants import MYR
+        from radiativetransfer_tpu.core import rays
+        from radiativetransfer_tpu.parallel import rays_dist
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        n = 16
+        geom = GridGeometry(n, n, n, 50.0 * KPC)
+        state = uniform_state(n, nh=1e-3, tgas=1e4, dtype=jnp.float64)
+        rng = np.random.default_rng(5)
+        batch = rays.SourceBatch(
+            position=rng.uniform(0.2, 0.8, (9, 3)),
+            weight=np.ones(9), table_idx=np.zeros(9, np.int32))
+        ctx = step_mod.StellarContext.build(
+            stellar_tables.blackbody_population(), batch, geom,
+            10.0 * MYR, metal_coefs=[(0, 0.0)], max_pixel_level=3)
+        rf_s, diag_s = rays.trace_point_sources(
+            state, geom, ctx.sources, ctx.tables, max_pixel_level=3,
+            dtype=jnp.float64)
+        mesh = pmesh.make_grid_mesh(shape=(2, 4))
+        rf_d, diag_d = rays_dist.trace_point_sources_dist(
+            pmesh.shard_state(state, mesh), geom, ctx.sources, ctx.tables,
+            mesh, max_pixel_level=3, dtype=jnp.float64)
+        # rtol reflects cross-shard reduction-order roundoff (the 8-way
+        # psum_scatter tree differs from the serial accumulation order)
+        np.testing.assert_allclose(
+            np.asarray(rf_d.krate24),
+            np.asarray(rf_s.krate24).reshape(n, n, n), rtol=1e-10,
+            atol=1e-300)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_s.ndot_remaining),
+                                   rtol=1e-12)
+
+    @pytest.mark.parametrize("strategy", ["pipelined", "zones"])
+    def test_strategy_through_production_step(self, strategy):
+        import dataclasses as dc
+        model, state = self._model_state()
+        out_single = jax.jit(model.transport_chemistry_step)(state)
+        mesh = pmesh.make_grid_mesh(8)
+        model_s = dc.replace(model, config=dc.replace(
+            model.config, sweep_strategy=strategy))
+        out = model_s.make_step(mesh=mesh)(pmesh.shard_state(state, mesh))
+        np.testing.assert_allclose(np.asarray(out.HI),
+                                   np.asarray(out_single.HI), rtol=1e-11)
+
+    def test_strategy_requires_mesh(self):
+        import dataclasses as dc
+        model, state = self._model_state(8)
+        model_s = dc.replace(model, config=dc.replace(
+            model.config, sweep_strategy="pipelined"))
+        with pytest.raises(ValueError, match="needs a mesh"):
+            model_s.make_step()(state)
