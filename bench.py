@@ -170,13 +170,74 @@ def main() -> None:
 
     cells_angles = n ** 3 * ndir
     value = cells_angles / dt
-    print(json.dumps({
+    record = {
         "metric": f"sweep cells*angles/s ({n}^3 grid, {ndir} directions, "
                   f"3 bands, {impl}, {platform})",
         "value": value,
         "unit": "cells*angles/s",
         "vs_baseline": value / TARGET_CELLS_ANGLES_PER_S,
-    }))
+    }
+
+    # ---- roofline accounting (VERDICT round-1 item 3) -------------------
+    # bytes moved per sweep (merged flip-folded launches, sweep_pallas):
+    # 6 (permutation, slab-order) groups each stream kappa in + Jmean out;
+    # the 2 non-identity axis permutations transpose kappa in and the
+    # result back (one read + one write each); one final accumulation pass.
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1" and impl == "pallas":
+        field_gb = 3 * n ** 3 * 4 / 1e9
+        n_groups, n_perms = 6, 3
+        bytes_gb = (n_groups * 2 * field_gb          # launch kappa in / J out
+                    + (n_perms - 1) * 2 * 2 * field_gb  # transposes there+back
+                    + n_perms * 2 * field_gb)        # J accumulation adds
+        hbm_peak = float(os.environ.get("BENCH_HBM_PEAK_GBPS", "819"))
+        record["hbm_gb_per_sweep"] = round(bytes_gb, 3)
+        record["pct_hbm_roofline"] = round(100 * bytes_gb / dt / hbm_peak, 2)
+        # compute floor: the masked kernel evaluates 3 bands x 3 segments
+        # = 9 exp per cell-direction; measure this chip's exp throughput
+        try:
+            from jax.experimental import pallas as pl
+
+            def _exp_kernel(x_ref, o_ref):
+                acc = x_ref[...]
+                for _ in range(8):
+                    acc = jnp.exp(-acc)
+                o_ref[...] = acc
+
+            def _exp_bench(x):
+                return pl.pallas_call(
+                    _exp_kernel,
+                    grid=(n,),
+                    in_specs=[pl.BlockSpec((3, 1, n, n),
+                                           lambda i: (0, i, 0, 0))],
+                    out_specs=pl.BlockSpec((3, 1, n, n),
+                                           lambda i: (0, i, 0, 0)),
+                    out_shape=jax.ShapeDtypeStruct((3, n, n, n), jnp.float32),
+                )(x)
+
+            def _chain(k):
+                def f(x):
+                    for _ in range(k):
+                        x = _exp_bench(x)
+                    return x
+                return jax.jit(f)
+
+            # slope between k=2 and k=6 cancels dispatch/tunnel latency
+            e2, e6 = _chain(2), _chain(6)
+            sync(e2(kappa * cell)), sync(e6(kappa * cell))
+            t0 = time.perf_counter()
+            sync(e2(kappa * cell))
+            t2 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(e6(kappa * cell))
+            t6 = time.perf_counter() - t0
+            exp_rate = 4 * 8 * 3 * n ** 3 / max(t6 - t2, 1e-9)
+            exp_floor_s = cells_angles * 9 / exp_rate
+            record["exp_per_s"] = f"{exp_rate:.3e}"
+            record["pct_compute_roofline"] = round(100 * exp_floor_s / dt, 1)
+        except Exception:  # pragma: no cover - roofline is best-effort
+            pass
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

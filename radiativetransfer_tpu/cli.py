@@ -167,9 +167,25 @@ def main(argv=None):
         src_path = os.path.join(cfg.sph_dir, cfg.sources)
         lo, hi, _ = grid_io.grid_bounds(levels)
         stars = sources_io.read_star_file(src_path, lo, hi)
+        n_young0 = int(np.sum(stars.age <= cfg.upper_age_limit))
+        # Starburst99 SEDs from synthesisDir when present, else blackbody
+        # (equiSources.f90:840-916); with metallicities on the grid the
+        # sources bucket to the nearest SED track and share a table
+        # (the TPU analog of the per-source rebuild, :1282-1298)
+        population, used_sb99 = stellar_tables.load_population(
+            cfg.synthesis_dir, len(stars.age), n_young0,
+            cfg.mass_stellar_particle)
+        if used_sb99:
+            print(f"Starburst99 SEDs from {cfg.synthesis_dir} "
+                  f"({len(population.metallicity_log10)} metallicity tracks)")
+        metal_edges = metal_coefs = None
+        if cfg.read_metals:
+            metal_edges, metal_coefs = stellar_tables.metal_bucket_plan(
+                population)
         batch, host, n_young = sources_io.prepare_sources(
             stars, geom.nx, cfg.upper_age_limit,
             abun2=np.asarray(state.abun2),
+            metal_bucket_edges=metal_edges,
             refined=np.asarray(amr_state.refined) if use_amr else None)
         print(f"nStars/specificAge/non-degenerate = {len(stars.age)} "
               f"{n_young} {batch.n_sources}")
@@ -188,10 +204,10 @@ def main(argv=None):
                 print(f"{c:12.4f} {g:12.1f} {s:12.1f}")
             return
 
-        population = stellar_tables.blackbody_population()
         stellar_ctx = step_mod.StellarContext.build(
             population, batch, geom, 10.0 * MYR,
-            metal_coefs=[(0, 0.0)], n_stars_specific_age=n_young,
+            metal_coefs=metal_coefs or [(0, 0.0)],
+            n_stars_specific_age=n_young,
             dust_approximation=cfg.dust_approximation,
             max_pixel_level=args.max_pixel_level or 6,
             noneq=args.chemistry == "noneq")

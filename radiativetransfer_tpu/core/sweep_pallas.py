@@ -1,11 +1,11 @@
 """Pallas TPU wavefront kernel for the diffuse sweep.
 
 Same mathematics as core.sweep.sweep_zone (the <=3-segment chained slab
-pipeline), fused into a single Pallas kernel per octant zone:
+pipeline), fused into Pallas wavefront kernels:
 
-* the kernel grid walks the slabs (TPU grid steps run sequentially, so the
-  top-exit intensity plane persists across steps in a VMEM scratch buffer —
-  no HBM round-trip for the carry, unlike the lax.scan formulation);
+* the kernel grid walks (band, slab); TPU grid steps run sequentially, so
+  the top-exit intensity plane persists across steps in a VMEM scratch
+  buffer — no HBM round-trip for the carry, unlike the lax.scan formulation;
 * the per-(direction, slab) ray-template scalars ride in scalar-prefetch
   SMEM arrays;
 * each step streams one kappa slab in and one Jmean slab out, so the kernel
@@ -14,10 +14,29 @@ pipeline), fused into a single Pallas kernel per octant zone:
 The slab-sequential pattern reuse mirrors the reference's per-slab template
 trick (equiSources.f90:1493-1553) — the template becomes the scalar
 prefetch, the (j,k) plane the vectorized tile.
+
+Roofline notes (round 2): at 256^3 x 192 directions the sweep is
+VPU-compute-bound (HBM floor ~4 ms vs ~200 ms compute), so the merged
+launch path below optimizes op count, not bytes:
+
+* the 24 octant zones share 3 axis PERMUTATIONS x 8 flip combinations; the
+  flips are folded into the kernel (reversed grid index_map for the slab
+  axis, reversed shift direction + boundary side for the in-plane axes), so
+  only 2 real HBM transposes remain per sweep (the identity permutation is
+  free) instead of 24 rotate_to/from round-trips;
+* inactive chain segments are SKIPPED with scalar lax.cond (the mean
+  chain depth is ~2.2 of 3, so masked evaluation wastes ~25% of the VPU);
+* the upwind shift is selected with a scalar cond instead of computing
+  both shifts and jnp.where-ing them.
+
+The older per-zone kernel (`_sweep_zone_pallas`, one launch per zone on a
+rotate_to_sweep-ed field) is kept for parallel.sweep_rdma, which splices
+RDMA halo exchange around it.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -27,8 +46,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import octants
-from ..geometry.patterns import SEG_XZ
+from ..geometry.patterns import SEG_NONE, SEG_XZ
 from .sweep import SweepPlan, _tau_eps
+
+# VMEM budget for the per-direction carry planes of one merged launch;
+# directions beyond this are chunked into additional launches.
+_ITOP_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _sweep_zone_kernel(lens_ref, chain_ref, uvb_ref, scale_ref,
@@ -159,29 +182,286 @@ def zone_arrays(zone, cell_size, dtype=jnp.float32):
             jnp.asarray(chains.reshape(-1)))
 
 
+# ---------------------------------------------------------------------------
+# Merged flip-folded launches (the fast path)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _MergedLaunch:
+    """All directions sharing one axis permutation and one slab order."""
+    perm: tuple[int, int, int]       # q: grid axis a reads transfer axis q[a]
+    reverse: bool                    # transfer axis 0 flipped -> sweep runs
+    #                                  physically last-slab-first
+    dirs_meta: tuple[tuple[bool, bool], ...]   # per-dir (flip_j, flip_k)
+    lens: np.ndarray                 # (nslab, D, 8) f: -len*cell x3, inv_n,
+    #                                  1/(-len*cell) x3, pad
+    chains: np.ndarray               # (nslab, D, 2) int32: chain2, chain3
+
+
+def _build_merged_launches(plan: SweepPlan, np_dtype) -> list[_MergedLaunch]:
+    """Group the plan's 24 zones into (permutation, slab-order) launches.
+
+    Grid axis a of zone izone reads transfer axis q[a]; the zone's flipped
+    grid axes map to flipped TRANSFER axes {q[a] : a in flips}.  A flipped
+    transfer axis 0 reverses the slab order (handled by the launch's grid
+    index_map); flipped transfer axes 1/2 reverse the in-plane upwind shift
+    direction (handled per direction inside the kernel).
+    """
+    groups: dict[tuple[tuple[int, int, int], bool], list] = {}
+    for zone in plan.zones:
+        q, flips = octants._ZONE_TABLE[zone.izone]
+        reverse = q.index(0) in flips
+        flip_j = q.index(1) in flips
+        flip_k = q.index(2) in flips
+        groups.setdefault((q, reverse), []).append((zone, flip_j, flip_k))
+
+    launches = []
+    for (q, reverse), zones in sorted(groups.items()):
+        lens_parts, chain_parts, meta = [], [], []
+        for zone, flip_j, flip_k in zones:
+            # pre-select the chain-ordered segment lengths (the kernel
+            # addresses lengths by chain position, not by face)
+            seg2_len = np.where(zone.chain2 == SEG_XZ, zone.len_xz,
+                                zone.len_yz)
+            seg3_len = np.where(zone.chain3 == SEG_XZ, zone.len_xz,
+                                zone.len_yz)
+            # (ndir, nslab) -> (nslab, ndir, ...); unit lengths — the
+            # (traced) cell size is applied on device in diffuse_sweep_pallas
+            lens = np.swapaxes(np.stack([zone.len_xy, seg2_len, seg3_len],
+                                        -1), 0, 1)
+            inv_n = np.swapaxes(
+                1.0 / zone.n_active.astype(np.float64), 0, 1)[..., None]
+            # reciprocal lengths (0 for inactive segments): with these in
+            # SMEM the kernel's logmean divide (a-1)/tau becomes a multiply
+            # by 1/kappa (hoisted per band-slab tile) * 1/len
+            with np.errstate(divide="ignore"):
+                inv_lens = np.where(lens > 0.0, 1.0 / lens, 0.0)
+            lens_parts.append(np.concatenate(
+                [lens, inv_n, inv_lens,
+                 np.zeros_like(inv_n)], -1))          # (nslab, D, 8)
+            chains = np.stack([zone.chain2, zone.chain3], -1)
+            chain_parts.append(np.swapaxes(chains, 0, 1).astype(np.int32))
+            meta.extend([(flip_j, flip_k)] * zone.ndir)
+        launches.append(_MergedLaunch(
+            perm=q, reverse=reverse, dirs_meta=tuple(meta),
+            lens=np.concatenate(lens_parts, axis=1).astype(np_dtype),
+            chains=np.concatenate(chain_parts, axis=1)))
+    return launches
+
+
+def _merged_kernel(lens_ref, chain_ref, uvb_ref, scale_ref, kappa_ref,
+                   j_ref, itop_ref, *, dirs_meta, eps, skip_inactive):
+    """One (band, slab) step for all directions of a merged launch.
+
+    lens_ref:  (nslab*D*8,) SMEM — (-len_xy*cell, -len_xz_or_yz2, -len3,
+               1/n_active, 1/len_n x3, pad) per (slab, dir); segment
+               lengths pre-negated so tau_n = kappa*len is the exp()
+               argument directly, and their reciprocals pre-divided so the
+               logmean (a-1)/tau_n costs one hoisted 1/kappa per tile
+               instead of a divide per segment
+    chain_ref: (nslab*D*2,) SMEM int32 — (chain2, chain3)
+    uvb_ref:   (3,) SMEM — boundary band intensities
+    scale_ref: (1,) SMEM — angular weight
+    kappa_ref: (1, 1, ny, nz) VMEM — this (band, slab)'s opacity [1/cm]
+    j_ref:     (1, 1, ny, nz) VMEM out — weighted Jmean contribution
+    itop_ref:  (D, ny, nz) VMEM scratch — per-direction top-exit carry
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ndir = itop_ref.shape[0]
+    ny, nz = itop_ref.shape[1], itop_ref.shape[2]
+    dtype = itop_ref.dtype
+
+    uvb_b = uvb_ref[b]
+
+    @pl.when(i == 0)
+    def _():
+        for d in range(ndir):
+            itop_ref[d] = jnp.full((ny, nz), uvb_b, dtype)
+
+    kappa_b = kappa_ref[0, 0]
+    # hoisted reciprocal: ONE divide per (band, slab) tile; kappa == 0
+    # tiles give inf, masked out by the small-tau where-branch below
+    inv_kappa_b = 1.0 / kappa_b
+    j_acc = jnp.zeros((ny, nz), dtype)
+
+    def seg(i_in, len_n, inv_len_n):
+        """One segment: len_n = -length (pre-scaled by cell size)."""
+        tau_n = kappa_b * len_n                       # = -tau
+        a = jnp.exp(tau_n)
+        # logmean emissivity (1-a)/tau = (a-1)/tau_n, small-tau 1+tau_n/2;
+        # 1/tau_n = inv_kappa * inv_len (both precomputed) — no divide
+        emi = jnp.where(tau_n < -eps,
+                        (a - 1.0) * inv_kappa_b * inv_len_n,
+                        1.0 + 0.5 * tau_n)
+        return i_in * a, i_in * emi
+
+    for d, (flip_j, flip_k) in enumerate(dirs_meta):
+        base = i * ndir + d
+        len1 = lens_ref[base * 8 + 0]
+        len2 = lens_ref[base * 8 + 1]
+        len3 = lens_ref[base * 8 + 2]
+        inv_n = lens_ref[base * 8 + 3]
+        il1 = lens_ref[base * 8 + 4]
+        il2 = lens_ref[base * 8 + 5]
+        il3 = lens_ref[base * 8 + 6]
+        ch2 = chain_ref[base * 2 + 0]
+        ch3 = chain_ref[base * 2 + 1]
+
+        # upwind shifts; a flipped transfer axis reverses direction and
+        # boundary side (the fold of the zone's grid-axis flip)
+        def shift_j(x, flip_j=flip_j):
+            pad = jnp.full((1, nz), uvb_b, dtype)
+            if flip_j:
+                return jnp.concatenate([x[1:, :], pad], axis=0)
+            return jnp.concatenate([pad, x[:-1, :]], axis=0)
+
+        def shift_k(x, flip_k=flip_k):
+            pad = jnp.full((ny, 1), uvb_b, dtype)
+            if flip_k:
+                return jnp.concatenate([x[:, 1:], pad], axis=1)
+            return jnp.concatenate([pad, x[:, :-1]], axis=1)
+
+        i1_out, lm1 = seg(itop_ref[d], len1, il1)
+
+        if skip_inactive:
+            # chain segments 2/3 are skipped (scalar lax.cond) when inactive
+            def with_23(i1_out=i1_out, len2=len2, len3=len3, ch2=ch2,
+                        ch3=ch3, shift_j=shift_j, shift_k=shift_k):
+                i2_in = jax.lax.cond(ch2 == SEG_XZ, shift_j, shift_k, i1_out)
+                i2_out, lm2 = seg(i2_in, len2, il2)
+
+                def with_3(_):
+                    i3_in = jax.lax.cond(ch3 == SEG_XZ, shift_j, shift_k,
+                                         i2_out)
+                    return seg(i3_in, len3, il3)
+
+                i3_out, lm3 = jax.lax.cond(
+                    ch3 != SEG_NONE, with_3,
+                    lambda _: (i2_out, jnp.zeros_like(i2_out)), 0)
+                return i3_out, lm2 + lm3
+
+            i_fin, lm23 = jax.lax.cond(
+                ch2 != SEG_NONE, lambda _: with_23(),
+                lambda _: (i1_out, jnp.zeros_like(i1_out)), 0)
+
+            itop_ref[d] = i_fin
+            j_acc = j_acc + inv_n * (lm1 + lm23)
+        else:
+            # branch-free: evaluate all 3 segments, mask the inactive ones
+            # (scalar masks; ~36% wasted exp at mean chain depth 2.2, but no
+            # cond merge copies — measured faster on v5e than the skip path)
+            is2_xz = (ch2 == SEG_XZ).astype(dtype)
+            i2_in = is2_xz * shift_j(i1_out) + (1.0 - is2_xz) * shift_k(i1_out)
+            i2_out, lm2 = seg(i2_in, len2, il2)
+            is3_xz = (ch3 == SEG_XZ).astype(dtype)
+            i3_in = is3_xz * shift_j(i2_out) + (1.0 - is3_xz) * shift_k(i2_out)
+            i3_out, lm3 = seg(i3_in, len3, il3)
+
+            act2 = (ch2 != SEG_NONE).astype(dtype)
+            act3 = (ch3 != SEG_NONE).astype(dtype)
+            n_act_i = 1.0 + act2 + act3  # float scalar: 1, 2 or 3
+            itop_ref[d] = jnp.where(
+                n_act_i == 3.0, i3_out,
+                jnp.where(n_act_i == 2.0, i2_out, i1_out))
+            j_acc = j_acc + inv_n * (lm1 + act2 * lm2 + act3 * lm3)
+
+    j_ref[0, 0] = scale_ref[0] * j_acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dirs_meta", "reverse", "nslab", "ny", "nz", "interpret",
+    "skip_inactive"))
+def _merged_launch_call(kappa_perm, lens, chains, uvb, weight, *,
+                        dirs_meta, reverse, nslab, ny, nz, interpret=False,
+                        skip_inactive=False):
+    """One pallas_call over grid (3 bands, nslab) for a merged launch.
+
+    kappa_perm: (3, nslab, ny, nz) opacity in permuted (unflipped) order.
+    Returns the same-shaped weighted Jmean contribution.
+    """
+    dtype = kappa_perm.dtype
+    eps = float(_tau_eps(dtype))
+
+    if reverse:
+        def index_map(b, i, *_):
+            return (b, nslab - 1 - i, 0, 0)
+    else:
+        def index_map(b, i, *_):
+            return (b, i, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(3, nslab),
+        in_specs=[pl.BlockSpec((1, 1, ny, nz), index_map)],
+        out_specs=pl.BlockSpec((1, 1, ny, nz), index_map),
+        scratch_shapes=[pltpu.VMEM((len(dirs_meta), ny, nz), dtype)],
+    )
+    kernel = functools.partial(_merged_kernel, dirs_meta=dirs_meta, eps=eps,
+                               skip_inactive=skip_inactive)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, nslab, ny, nz), dtype),
+        interpret=interpret,
+    )(lens, chains, uvb.astype(dtype), jnp.full((1,), weight, dtype),
+      kappa_perm)
+
+
 def diffuse_sweep_pallas(kappa, plan: SweepPlan, uvb, cell_size,
-                         interpret: bool = False) -> jax.Array:
-    """Full multi-direction sweep with the Pallas zone kernel.
+                         interpret: bool = False,
+                         skip_inactive: bool = False) -> jax.Array:
+    """Full multi-direction sweep with merged flip-folded Pallas launches.
 
     Drop-in replacement for core.sweep.diffuse_sweep (same result to float
-    roundoff).  interpret=True runs the kernel in interpreter mode for
+    roundoff).  interpret=True runs the kernels in interpreter mode for
     CPU-based testing.
     """
     dtype = kappa.dtype
+    np_dtype = np.dtype(dtype.name if hasattr(dtype, "name") else dtype)
     uvb = jnp.asarray(uvb, dtype)
-    kappa_l = jnp.moveaxis(kappa, 0, -1)                # (nx,ny,nz,3)
-    jmean = jnp.zeros_like(kappa_l)
-    for zone in plan.zones:
-        krot = octants.rotate_to_sweep(kappa_l, zone.izone)
-        krot = jnp.moveaxis(krot, -1, 1)                # (nslab,3,ny,nz)
-        nslab, _, ny, nz = krot.shape
-        lens, chains = zone_arrays(zone, cell_size, dtype)
-        j_rot = _sweep_zone_pallas(
-            krot, lens, chains, uvb, plan.weight,
-            ndir=zone.ndir, nslab=nslab, ny=ny, nz=nz, interpret=interpret)
-        j_rot = jnp.moveaxis(j_rot, 1, -1)
-        jmean = jmean + octants.rotate_from_sweep(j_rot, zone.izone)
-    return jnp.moveaxis(jmean, -1, 0)
+    launches = _build_merged_launches(plan, np_dtype)
+    # channel scale: negate+scale the 3 segment lengths, keep inv_n, and
+    # scale the 3 reciprocal lengths to 1/len_n = -1/(len*cell)
+    inv_cell = 1.0 / cell_size
+    lens_scale = (
+        jnp.asarray([-1.0, -1.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0], dtype)
+        * cell_size
+        + jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype)
+        + jnp.asarray([0.0, 0.0, 0.0, 0.0, -1.0, -1.0, -1.0, 0.0], dtype)
+        * inv_cell)
+
+    by_perm: dict[tuple[int, int, int], list[_MergedLaunch]] = {}
+    for launch in launches:
+        by_perm.setdefault(launch.perm, []).append(launch)
+
+    jmean = jnp.zeros_like(kappa)
+    plane_bytes = kappa.shape[2] * kappa.shape[3] * np_dtype.itemsize
+    d_max = max(1, _ITOP_VMEM_BUDGET // plane_bytes)
+    for q, perm_launches in by_perm.items():
+        inv = [0, 0, 0]
+        for a in range(3):
+            inv[q[a]] = a
+        kperm = jnp.transpose(kappa, (0,) + tuple(1 + x for x in inv))
+        nslab, ny, nz = kperm.shape[1], kperm.shape[2], kperm.shape[3]
+        j_perm = None
+        for launch in perm_launches:
+            ndir = len(launch.dirs_meta)
+            for lo in range(0, ndir, d_max):
+                hi = min(lo + d_max, ndir)
+                jp = _merged_launch_call(
+                    kperm,
+                    (jnp.asarray(launch.lens[:, lo:hi]) *
+                     lens_scale).reshape(-1),
+                    jnp.asarray(launch.chains[:, lo:hi].reshape(-1)),
+                    uvb, plan.weight,
+                    dirs_meta=launch.dirs_meta[lo:hi],
+                    reverse=launch.reverse, nslab=nslab, ny=ny, nz=nz,
+                    interpret=interpret, skip_inactive=skip_inactive)
+                j_perm = jp if j_perm is None else j_perm + jp
+        jmean = jmean + jnp.transpose(j_perm, (0,) + tuple(1 + x for x in q))
+    return jmean
 
 
 def make_jitted_sweep_pallas(plan: SweepPlan, interpret: bool = False):

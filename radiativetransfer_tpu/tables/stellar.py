@@ -171,6 +171,84 @@ def parse_starburst99(paths: list[str], metallicities: list[float],
         metallicity_log10=np.log10(np.asarray(metallicities)))
 
 
+# Starburst99 synthesis-model layout (equiSources.f90:83-87, 879-884):
+# five metallicity tracks, each a model4X-salpeter-burst34/spectrum.out file.
+STARBURST99_FILES = tuple(
+    f"model4{i}-salpeter-burst34/spectrum.out" for i in range(1, 6))
+STARBURST99_METALLICITIES = (0.0004, 0.004, 0.008, 0.020, 0.050)
+
+# mass-resolution luminosity shifts, log10 per particle
+# (equiSources.f90:892-916; enum definitionsModule.f90:90-91)
+_MASS_PARTICLE_SHIFT = {
+    1: 0.0,                                   # normal
+    2: -np.log10(8.0),                        # hiRes
+    3: -np.log10(64.0),                       # superHiRes
+    4: np.log10(5.832 / 8.0),                 # hiResHeavy
+    5: -np.log10(512.0),                      # crazyHiRes
+    6: 3.0 * np.log10(0.6) - np.log10(512.0),  # light
+    7: np.log10(65.0 / (70.0 * 8.0)),         # lyAlpha
+    10: np.log10(2.7818),                     # massive
+}
+
+
+def luminosity_shift_log10(n_stars: int, n_stars_specific_age: int,
+                           mass_stellar_particle: int = 1) -> float:
+    """Per-particle luminosity normalization (equiSources.f90:886-916):
+    the Starburst99 tables were computed for 11.6 Msun/yr spread over 34
+    particles of a 347-particle fiducial volume; rescale to this run's
+    particle count and mass resolution."""
+    return (np.log10(n_stars / 347.0 * 34.0
+                     / max(n_stars_specific_age, 1))
+            + _MASS_PARTICLE_SHIFT[mass_stellar_particle])
+
+
+def load_population(synthesis_dir: str, n_stars: int,
+                    n_stars_specific_age: int,
+                    mass_stellar_particle: int = 1
+                    ) -> tuple[StellarPopulation, bool]:
+    """The driver's SED source: Starburst99 spectrum.out files from
+    synthesis_dir when all five metallicity tracks are present
+    (equiSources.f90:840-884), else the blackbody fallback (the reference's
+    data files are not shipped, SURVEY.md §0).
+
+    Returns (population, used_starburst99)."""
+    import os
+
+    shift = luminosity_shift_log10(n_stars, n_stars_specific_age,
+                                   mass_stellar_particle)
+    if synthesis_dir:
+        paths = [os.path.join(synthesis_dir, f) for f in STARBURST99_FILES]
+        if all(os.path.exists(p) for p in paths):
+            return parse_starburst99(
+                paths, list(STARBURST99_METALLICITIES),
+                luminosity_shift_log10=shift), True
+    return blackbody_population(), False
+
+
+def metal_bucket_plan(pop: StellarPopulation
+                      ) -> tuple[np.ndarray, list[tuple[int, float]]]:
+    """Metallicity buckets for source table sharing.
+
+    The reference brackets each source's host metallicity continuously and
+    rebuilds the 11^4 tables per source (equiSources.f90:1282-1298); here
+    sources bucket to the NEAREST SED track and share its table — B tables
+    total instead of one rebuild per source.  Returns (bucket edges in
+    linear abun2 for io.sources_io.prepare_sources, metal_coefs for
+    StellarContext.build): edges are geometric midpoints between tracks.
+    """
+    z = 10.0 ** pop.metallicity_log10
+    mids = np.sqrt(z[:-1] * z[1:])
+    edges = np.concatenate([[0.0], mids, [np.inf]])
+    nmetal = len(z)
+    coefs: list[tuple[int, float]] = []
+    for i in range(nmetal):
+        if i < nmetal - 1:
+            coefs.append((i, 0.0))
+        else:
+            coefs.append((nmetal - 2, 1.0))
+    return edges, coefs
+
+
 def blackbody_population(temperature: float = 1.0e5,
                          q_ionizing: float = 1.0e53,
                          n_ages: int = 8, n_metal: int = 2,

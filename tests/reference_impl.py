@@ -321,3 +321,151 @@ def serial_sweep_two_level(kappa_c: np.ndarray, kappa_f: np.ndarray,
         jf += np.moveaxis(octants.rotate_from_sweep(jrot_f, d.izone), -1, 0)
 
     return jc, jf
+
+
+# ---------------------------------------------------------------------------
+# Point-source tracer oracle (startNewLongRay, equiSources.f90:3120-3385)
+# ---------------------------------------------------------------------------
+
+
+def serial_trace(fields, n, cell_size, sources_pos, sources_ndot,
+                 quad_A, quad_W, sig_ratio, out_radii_cm,
+                 max_pixel_level, table_idx=None):
+    """Per-ray depth-first port of the reference's point-source solve on a
+    uniform grid, with direct spectral-quadrature deposits.
+
+    Follows startNewLongRay / drawSegment (equiSources.f90:2412-2595,
+    3120-3385) ray by ray: march cell faces, cut at the split radii
+    rmax(level) (:304-309), split 1->4 NESTED children with the lateral
+    reposition (:3325-3332), accumulate escape fractions at the output
+    radii and the emergent spectrum at the outermost one (:3198-3226), and
+    boundary losses (:3228-3233, :3336-3344).
+
+    Two documented deviations from the Fortran, matching the production
+    tracer: (a) the tau kill uses min over the THREE ionization depths —
+    the reference includes the dust depth in the min (:3241), which with
+    dust off is identically zero so its kill never fires; (b) an
+    out-of-box split child does not abort its remaining siblings — the
+    reference's `strategy = boundary` inside the child loop (:3338-3344)
+    silently drops the siblings, a photon-losing bug.
+
+    fields: dict HI/HeI/HeII dense (n,n,n) [cm^-3].  cell_size [cm].
+    sources_pos (S,3) box units; sources_ndot (S,); quad_A (4,F);
+    quad_W (B,F,6) volumetric weights; sig_ratio (4, nenergy);
+    out_radii_cm (nr,).  Returns (rates dict in RateFields order,
+    ndot_remaining (S,nr), ndot_boundary (S,nr), ndot_spectrum (S,ne)).
+    """
+    from radiativetransfer_tpu.constants import (SIGMA24_AT_NU1,
+                                                 SIGMA25_AT_NU3,
+                                                 SIGMA26_AT_NU2, rmax_table)
+
+    HI, HeI, HeII = fields["HI"], fields["HeI"], fields["HeII"]
+    rmax = rmax_table()
+    S = len(sources_ndot)
+    nr = len(out_radii_cm)
+    ne = sig_ratio.shape[1]
+    if table_idx is None:
+        table_idx = np.zeros(S, np.int64)
+    rates = {k: np.zeros((n, n, n))
+             for k in ("krate24", "krate25", "krate26",
+                       "crate24", "crate25", "crate26")}
+    ndot_remaining = np.zeros((S, nr))
+    ndot_boundary = np.zeros((S, nr))
+    ndot_spectrum = np.zeros((S, ne))
+
+    def deposit(cell, depth, tau, ndot, b):
+        e0 = np.exp(-(depth @ quad_A))                     # (F,)
+        for j, (kname, cname) in enumerate(
+                (("krate24", "crate24"), ("krate26", "crate26"),
+                 ("krate25", "crate25"))):
+            g = e0 * -np.expm1(-tau[j] * quad_A[j])
+            rates[kname][cell] += ndot * (g @ quad_W[b, :, j])
+            rates[cname][cell] += ndot * (g @ quad_W[b, :, j + 3])
+
+    def march(src, pos, direction, level, radius, ndot, depth, ipix):
+        """One ray from its spawn to death or split; returns children."""
+        b = table_idx[src]
+        pos = pos.copy()
+        depth = depth.copy()
+        cell = np.clip((pos * n).astype(np.int64), 0, n - 1)
+        last = level == max_pixel_level
+        r_stop = rmax[level - 1]
+        while True:
+            d_safe = np.where(np.abs(direction) < 1e-12,
+                              np.where(direction < 0, -1e-12, 1e-12),
+                              direction)
+            bound = (cell + (d_safe > 0.0)) / n
+            t_ax = (bound - pos) / d_safe
+            ax = int(np.argmin(t_ax))
+            t_min = t_ax[ax]
+            seg_cells = t_min * n
+            radius_new = radius + seg_cells
+            cut = (not last) and radius_new >= r_stop
+            if cut:
+                seg_cells = max(r_stop - radius, 0.0)
+                radius_new = radius + seg_cells
+                t_min = seg_cells / n
+            plen = seg_cells * cell_size
+            c = tuple(cell)
+            tau = np.array([plen * HI[c] * SIGMA24_AT_NU1,
+                            plen * HeI[c] * SIGMA26_AT_NU2,
+                            plen * HeII[c] * SIGMA25_AT_NU3,
+                            0.0])
+            # escape radii (equiSources.f90:3198-3226)
+            r1, r2 = radius * cell_size, radius_new * cell_size
+            for ir, orad in enumerate(out_radii_cm):
+                if r1 <= orad <= r2:
+                    ratio = (orad - r1) / max(r2 - r1, 1e-30)
+                    ndot_remaining[src, ir] += ndot * np.exp(
+                        -(ratio * (tau[0] + tau[3]) + depth[0] + depth[3]))
+                    if ir == nr - 1:
+                        spec_tau = (depth + ratio * tau) @ sig_ratio
+                        ndot_spectrum[src] += ndot * np.exp(-spec_tau)
+            deposit(c, depth, tau, ndot, b)
+            depth = depth + tau
+            pos = pos + t_min * direction
+            if cut:
+                radius = radius_new
+                # a kill on the cut segment overrides the split (the
+                # reference reassigns strategy=boundary at :3241 after
+                # drawSegment set split)
+                if np.min(depth[:3]) > 100.0:
+                    return []
+                # split: 4 NESTED children (equiSources.f90:3303-3332)
+                children = []
+                nside = 2 ** level
+                for i4 in range(4):
+                    cp = 4 * ipix + i4
+                    phi, theta = healpix.pix2ang_nest(nside, np.array([cp]))
+                    cdir = healpix.direction_vectors(phi, theta)[0]
+                    cpos = pos + (radius / n) * (cdir - direction)
+                    if np.any(cpos < 0.0) or np.any(cpos > 1.0):
+                        beyond = out_radii_cm > radius * cell_size
+                        ndot_boundary[src, beyond] += ndot / 4.0
+                    else:
+                        children.append((src, cpos, cdir, level + 1, radius,
+                                         ndot / 4.0, depth, cp))
+                return children
+            pos[ax] = bound[ax]   # snap onto the crossed face
+            cell = cell.copy()
+            cell[ax] += 1 if d_safe[ax] > 0 else -1
+            radius = radius_new
+            # boundary is accounted even if the ray also tau-kills on this
+            # step (the reference's boundary block precedes its kill, :3228)
+            if np.any(cell < 0) or np.any(cell >= n):
+                beyond = out_radii_cm > r2
+                ndot_boundary[src, beyond] += ndot
+                return []
+            if np.min(depth[:3]) > 100.0:     # tau kill (:3241)
+                return []
+
+    stack = []
+    base_dirs = healpix.direction_vectors(
+        *healpix.pix2ang_nest(1, np.arange(12)))
+    for s in range(S):
+        for p in range(12):
+            stack.append((s, sources_pos[s].copy(), base_dirs[p], 1, 0.0,
+                          sources_ndot[s] / 12.0, np.zeros(4), p))
+    while stack:
+        stack.extend(march(*stack.pop()))
+    return rates, ndot_remaining, ndot_boundary, ndot_spectrum
