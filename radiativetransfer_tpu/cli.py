@@ -274,8 +274,11 @@ def main(argv=None):
               f"evolve_energy = {args.evolve_energy}")
     elif use_amr:
         if mesh is not None:
-            print("warning: mesh/sweep-strategy ignored on the AMR path")
-        step = amodel.make_step(stellar_ctx)
+            if cfg.sweep_strategy not in ("", "auto"):
+                print("warning: explicit sweep strategies are uniform-grid "
+                      "only; the AMR sweep partitions under GSPMD")
+            amr_state = pmesh.shard_amr_state(amr_state, mesh)
+        step = amodel.make_step(stellar_ctx, mesh=mesh)
     else:
         if mesh is not None:
             state = pmesh.shard_state(state, mesh)

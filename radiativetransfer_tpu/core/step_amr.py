@@ -37,8 +37,12 @@ class AMRModel:
         g = self.rt.geom
         return GridGeometry(2 * g.nx, 2 * g.ny, 2 * g.nz, g.physical_box_size)
 
-    def step(self, state: amr.AMRState, stellar=None):
-        """One iteration; returns (state, diag_or_None)."""
+    def step(self, state: amr.AMRState, stellar=None, mesh=None):
+        """One iteration; returns (state, diag_or_None).
+
+        With `mesh` the point-source phase runs source-parallel
+        (parallel.rays_dist.trace_point_sources_amr_dist) and the sweep +
+        chemistry partition under GSPMD from the sharded state."""
         rt = self.rt
         cfg = rt.config
         base = state.base.zero_rates()
@@ -47,33 +51,15 @@ class AMRModel:
         diag = None
 
         if cfg.run_stellar_transfer and stellar is not None:
-            rfb, rff, diag = rays_amr.trace_point_sources_amr(
-                state, rt.geom, stellar.sources, stellar.tables,
-                dust_approximation=stellar.dust_approximation,
-                max_pixel_level=stellar.max_pixel_level,
-                dtype=state.base.rho.dtype)
-            bs, fs = state.base.shape, state.fine.shape
             # fine deposits were built with base-volume-scaled tables; fine
-            # cells have 1/8 the volume
-            state = dataclasses.replace(
-                state,
-                base=dataclasses.replace(
-                    state.base,
-                    krate24=rfb.krate24.reshape(bs),
-                    krate25=rfb.krate25.reshape(bs),
-                    krate26=rfb.krate26.reshape(bs),
-                    crate24=rfb.crate24.reshape(bs),
-                    crate25=rfb.crate25.reshape(bs),
-                    crate26=rfb.crate26.reshape(bs)),
-                fine=dataclasses.replace(
-                    state.fine,
-                    krate24=rff.krate24.reshape(fs) * 8.0,
-                    krate25=rff.krate25.reshape(fs) * 8.0,
-                    krate26=rff.krate26.reshape(fs) * 8.0,
-                    crate24=rff.crate24.reshape(fs) * 8.0,
-                    crate25=rff.crate25.reshape(fs) * 8.0,
-                    crate26=rff.crate26.reshape(fs) * 8.0))
+            # cells have 1/8 the volume (scaling applied in _traced)
+            state, diag = self._traced(state, stellar, mesh)
 
+        return self._sweep_and_chemistry(state), diag
+
+    def _sweep_and_chemistry(self, state: amr.AMRState) -> amr.AMRState:
+        rt = self.rt
+        cfg = rt.config
         if cfg.run_uvb_transfer:
             kc = opacity.compute_opacities(state.base.HI, state.base.HeI,
                                            state.base.HeII, rt.opacity_coef)
@@ -97,13 +83,63 @@ class AMRModel:
         new_fine = chemistry.solve_rate_equations(state.fine, self.fine_geom,
                                                   rt.dev_tables, **kwargs)
         state = dataclasses.replace(state, base=new_base, fine=new_fine)
-        state = amr.sync_restriction(state)
-        return state, diag
+        return amr.sync_restriction(state)
 
-    def make_step(self, stellar=None):
+    def make_step(self, stellar=None, mesh=None):
+        """jit-compiled AMR iteration.  The tracer keeps its own compiled
+        cache; the sweep + chemistry + restriction tail is jitted here
+        (GSPMD-partitioned when the state is sharded via
+        parallel.mesh.shard_amr_state)."""
         if stellar is None:
             return jax.jit(lambda s: self.step(s)[0])
-        return lambda s: self.step(s, stellar)
+        rest = jax.jit(self._sweep_and_chemistry)
+
+        def step(state: amr.AMRState):
+            state = dataclasses.replace(
+                state, base=state.base.zero_rates(),
+                fine=state.fine.zero_rates())
+            # tracer (outside jit: its phase loop has its own cache)
+            s2, diag = self._traced(state, stellar, mesh)
+            return rest(s2), diag
+
+        return step
+
+    def _traced(self, state: amr.AMRState, stellar, mesh):
+        """The point-source phase of step(), without sweep/chemistry."""
+        rt = self.rt
+        if mesh is not None:
+            from ..parallel import rays_dist
+            rfb, rff, diag = rays_dist.trace_point_sources_amr_dist(
+                state, rt.geom, stellar.sources, stellar.tables, mesh,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.base.rho.dtype)
+        else:
+            rfb, rff, diag = rays_amr.trace_point_sources_amr(
+                state, rt.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.base.rho.dtype)
+        bs, fs = state.base.shape, state.fine.shape
+        state = dataclasses.replace(
+            state,
+            base=dataclasses.replace(
+                state.base,
+                krate24=rfb.krate24.reshape(bs),
+                krate25=rfb.krate25.reshape(bs),
+                krate26=rfb.krate26.reshape(bs),
+                crate24=rfb.crate24.reshape(bs),
+                crate25=rfb.crate25.reshape(bs),
+                crate26=rfb.crate26.reshape(bs)),
+            fine=dataclasses.replace(
+                state.fine,
+                krate24=rff.krate24.reshape(fs) * 8.0,
+                krate25=rff.krate25.reshape(fs) * 8.0,
+                krate26=rff.krate26.reshape(fs) * 8.0,
+                crate24=rff.crate24.reshape(fs) * 8.0,
+                crate25=rff.crate25.reshape(fs) * 8.0,
+                crate26=rff.crate26.reshape(fs) * 8.0))
+        return state, diag
 
     def neutral_fraction(self, state: amr.AMRState) -> float:
         """Leaf-volume-weighted neutral hydrogen fraction."""

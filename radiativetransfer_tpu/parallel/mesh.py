@@ -123,5 +123,18 @@ def shard_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(place, state)
 
 
+def shard_amr_state(state, mesh: Mesh):
+    """Apply the grid sharding to a core.amr.AMRState: base fields on
+    (n,n,n), fine fields on (2n,2n,2n) — the same last-axes decomposition
+    (every shard holds the fine children of its base cells when the shard
+    counts divide n), and the refined bitmap alongside the base."""
+    import dataclasses as dc
+    return dc.replace(
+        state,
+        base=shard_state(state.base, mesh),
+        fine=shard_state(state.fine, mesh),
+        refined=jax.device_put(state.refined, field_sharding(mesh)))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

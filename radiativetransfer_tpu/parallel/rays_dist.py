@@ -151,3 +151,93 @@ def _rate_fields_struct(rates_mode: str, n: int, dtype):
            else rays_mod.RateFields)
     k = len(dataclasses.fields(cls))
     return cls(*([0] * k))
+
+
+def trace_point_sources_amr_dist(amr_state, geom, sources: SourceBatch,
+                                 tables, mesh: Mesh,
+                                 dust_approximation: int = NO_DUST,
+                                 max_pixel_level: int = MAX_PIXEL_LEVEL,
+                                 dtype=jnp.float32,
+                                 rates_mode: str = "auto"):
+    """Distributed analog of core.rays_amr.trace_point_sources_amr:
+    sources sharded over the mesh, base+fine fields all-gathered per shard,
+    both deposit RateFields reduce-scattered back onto the grid
+    decomposition (same protocol as trace_point_sources_dist above).
+
+    Returns (RateFields base (n,n,n), RateFields fine (2n,2n,2n),
+    RayDiagnostics sharded over sources)."""
+    from ..core import rays_amr
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
+    from .mesh import _grid_spec
+    grid_entries = _grid_spec(mesh)
+    n_shards = int(np.prod(mesh.devices.shape))
+    n, n2 = geom.nx, 2 * geom.nx
+
+    padded, n_real = pad_sources(sources, n_shards)
+    s_local = padded.n_sources // n_shards
+
+    init_state = rays_mod._spawn_phase(padded, 1, dtype)
+    init_state = dataclasses.replace(
+        init_state,
+        cell=jnp.clip((init_state.pos * n2).astype(jnp.int32), 0, n2 - 1))
+
+    b, f = amr_state.base, amr_state.fine
+    fields3 = {
+        "HI": b.HI.astype(dtype), "HeI": b.HeI.astype(dtype),
+        "HeII": b.HeII.astype(dtype), "nH": b.nh.astype(dtype),
+        "abun2": b.abun2.astype(dtype),
+        "HI_f": f.HI.astype(dtype), "HeI_f": f.HeI.astype(dtype),
+        "HeII_f": f.HeII.astype(dtype), "nH_f": f.nh.astype(dtype),
+        "abun2_f": f.abun2.astype(dtype),
+        "refined": amr_state.refined,
+    }
+    tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+
+    field_spec = P(*grid_entries)
+    src_axis = (mesh.axis_names[0] if len(mesh.axis_names) == 1
+                else tuple(mesh.axis_names))
+    ray_spec = jax.tree_util.tree_map(lambda _: P(src_axis), init_state)
+    sharded_dims = [(d, name) for d, name in enumerate(grid_entries)
+                    if name is not None]
+
+    def worker(fields3, init_state, tables_dev):
+        def gather(v):
+            for d, name in sharded_dims:
+                v = jax.lax.all_gather(v, name, axis=d, tiled=True)
+            return v.reshape(-1)
+
+        full = {k: gather(v) for k, v in fields3.items()}
+        rfb, rff, diag = rays_amr._trace_all_phases_amr(
+            full, init_state, tables_dev, geom=geom, n_sources=s_local,
+            dust_approximation=dust_approximation,
+            max_pixel_level=max_pixel_level, dtype=dtype,
+            rates_mode=rates_mode)
+
+        def scatter(x, m):
+            x = x.reshape(m, m, m)
+            for d, name in sharded_dims:
+                x = jax.lax.psum_scatter(x, name, scatter_dimension=d,
+                                         tiled=True)
+            return x
+
+        rfb = jax.tree_util.tree_map(lambda x: scatter(x, n), rfb)
+        rff = jax.tree_util.tree_map(lambda x: scatter(x, n2), rff)
+        return rfb, rff, diag
+
+    rf_struct = _rate_fields_struct("table", n, dtype)
+    out_specs = (
+        jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
+        jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
+        jax.tree_util.tree_map(lambda _: P(src_axis),
+                               RayDiagnostics.zeros(1, dtype)),
+    )
+    mapped = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=({k: field_spec for k in fields3}, ray_spec,
+                  {k: P() for k in tables_dev}),
+        out_specs=out_specs, check_vma=False)
+    rfb, rff, diag = jax.jit(mapped)(fields3, init_state, tables_dev)
+    if n_real != padded.n_sources:
+        diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
+    return rfb, rff, diag

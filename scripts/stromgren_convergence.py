@@ -62,7 +62,7 @@ def run_one(n: int, max_pixel_level: int, dtype) -> dict:
 
     HI = state.HI
     t0 = time.perf_counter()
-    for it in range(30):
+    for it in range(40):
         st = dataclasses.replace(state, HI=HI)
         rf, _ = rays.trace_point_sources(st, geom, src, tables,
                                          max_pixel_level=max_pixel_level,
@@ -73,10 +73,17 @@ def run_one(n: int, max_pixel_level: int, dtype) -> dict:
         HI_new, _ = chemistry.solve_h_only_equilibrium(
             state.nh, state.tgas, jnp.maximum(g24, 0.0), dev_tables)
         delta = float(jnp.max(jnp.abs(HI_new - HI)))
-        HI = HI_new
+        # damped lambda iteration: the bare fixpoint ping-pongs at the front
+        HI = 0.5 * (HI_new + HI) if it > 2 else HI_new
         if delta < 1e-5 * NH:
             break
     dt = time.perf_counter() - t0
+    # photons absorbed inside the box: hard photons (sigma ~ nu^-3) escape
+    # the 16-kpc domain, so the photon-conserving oracle radius uses the
+    # MEASURED absorption, R_eff = (3 Q_abs / (4 pi alpha_B nH^2))^(1/3)
+    # (the reference's own balance logic, tests/test_rays.py r1 note)
+    q_abs = float(jnp.sum(rf.krate24)) * geom.cell_volume
+    r_eff = r_s * (q_abs / q_ion) ** (1.0 / 3.0)
 
     xneu = np.asarray(HI, np.float64) / NH
     idx = np.indices((n, n, n))
@@ -94,10 +101,11 @@ def run_one(n: int, max_pixel_level: int, dtype) -> dict:
     r_half = float(np.interp(0.5, prof[valid], centers[valid]))
 
     return {"n": n, "mpl": max_pixel_level, "iters": it + 1, "time_s": dt,
-            "r_s_kpc": r_s / KPC, "r_vol_kpc": r_vol / KPC,
-            "r_half_kpc": r_half / KPC,
-            "err_vol_pct": 100 * (r_vol - r_s) / r_s,
-            "err_half_pct": 100 * (r_half - r_s) / r_s}
+            "r_s_kpc": r_s / KPC, "r_eff_kpc": r_eff / KPC,
+            "r_vol_kpc": r_vol / KPC, "r_half_kpc": r_half / KPC,
+            "err_vol_pct": 100 * (r_vol - r_eff) / r_eff,
+            "err_half_pct": 100 * (r_half - r_eff) / r_eff,
+            "fesc_pct": 100 * (1.0 - q_abs / q_ion)}
 
 
 def main():
@@ -110,7 +118,8 @@ def main():
     for n in ns:
         r = run_one(n, mpl.get(n, 6), dtype)
         print(f"n={r['n']:4d} mpl={r['mpl']} iters={r['iters']:2d} "
-              f"{r['time_s']:6.1f}s  R_S={r['r_s_kpc']:.3f} kpc  "
+              f"{r['time_s']:6.1f}s  R_S={r['r_s_kpc']:.3f} "
+              f"R_eff={r['r_eff_kpc']:.3f} kpc (esc {r['fesc_pct']:.1f}%)  "
               f"R_vol={r['r_vol_kpc']:.3f} ({r['err_vol_pct']:+.2f}%)  "
               f"R_half={r['r_half_kpc']:.3f} ({r['err_half_pct']:+.2f}%)")
 
