@@ -15,7 +15,7 @@ from radiativetransfer_tpu.io import grid_io
 
 
 def make_grid(n=24, box_kpc=300.0, seed=0, path="testgrid_velmet",
-              refine_center=False):
+              refine_center=False, refine_core=False):
     rng = np.random.default_rng(seed)
     # cell centers in a kpc frame
     ax = (np.arange(n) + 0.5) / n * box_kpc - box_kpc / 2
@@ -56,6 +56,29 @@ def make_grid(n=24, box_kpc=300.0, seed=0, path="testgrid_velmet",
             lT=np.full(m, 4.0, np.float32),
             lnH=np.log10(nhf).astype(np.float32),
             lx=np.zeros(m, np.float32), vel=velf, abun=abunf))
+    if refine_center and refine_core:
+        # level-3 cells over the central eighth (a 3-level nested grid)
+        q3 = 3 * n // 8
+        sel3 = np.arange(q3, n - q3)
+        ax3 = []
+        for i in sel3:
+            ax3 += [(i + off) / n * box_kpc - box_kpc / 2
+                    for off in (0.125, 0.375, 0.625, 0.875)]
+        ax3 = np.array(ax3)
+        x3, y3, z3 = np.meshgrid(ax3, ax3, ax3, indexing="ij")
+        pos3 = np.stack([x3.ravel(), y3.ravel(), z3.ravel()], axis=1)
+        r3 = np.sqrt((pos3 ** 2).sum(axis=1))
+        nh3 = 3e-3 * (1.0 + (r3 / (0.15 * box_kpc)) ** 2) ** -1
+        nh3 = nh3 * rng.lognormal(0.0, 0.4, nh3.shape)
+        m3 = len(nh3)
+        abun3 = np.zeros((m3, 4), np.float32)
+        abun3[:, 1] = 0.004 * np.exp(-r3 / (0.3 * box_kpc))
+        levels.append(grid_io.LevelData(
+            pos=pos3.astype(np.float32),
+            lT=np.full(m3, 4.0, np.float32),
+            lnH=np.log10(nh3).astype(np.float32),
+            lx=np.zeros(m3, np.float32),
+            vel=rng.normal(0, 30, (m3, 3)).astype(np.float32), abun=abun3))
     grid_io.write_level_npz(path + ".npz", levels)
     return levels, box_kpc
 

@@ -18,6 +18,7 @@ __all__ = [
     "RunConfig", "load_config", "save_config",
     "FieldState", "GridGeometry", "make_state", "uniform_state",
     "RTModel", "StellarContext", "AMRModel", "AMRState",
+    "MultiLevelModel", "MultiLevelState",
 ]
 
 
@@ -27,10 +28,10 @@ def __getattr__(name):
         from .core import step as _step
         return getattr(_step, {"RTModel": "RTModel",
                                "StellarContext": "StellarContext"}[name])
-    if name == "AMRModel":
-        from .core.step_amr import AMRModel
-        return AMRModel
-    if name == "AMRState":
-        from .core.amr import AMRState
-        return AMRState
+    if name in ("AMRModel", "MultiLevelModel"):
+        from .core import step_amr
+        return getattr(step_amr, name)
+    if name in ("AMRState", "MultiLevelState"):
+        from .core import amr
+        return getattr(amr, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

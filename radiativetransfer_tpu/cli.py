@@ -78,6 +78,10 @@ def main(argv=None):
                     help="snapshot format: portable cellArray .npz (default) "
                          "or orbax sharded checkpoint directories "
                          "(io.checkpoint, the multi-host path)")
+    ap.add_argument("--amr-depth", type=int, default=4,
+                    help="max dense AMR levels kept from the input grid "
+                         "(deeper input levels average onto the deepest "
+                         "kept one); 2 forces the sharded two-level path")
     args = ap.parse_args(argv)
 
     import jax
@@ -136,8 +140,20 @@ def main(argv=None):
             print(f"level = {i + 1}  cells = {lv.ncell}")
         return
 
-    use_amr = len(levels) > 1 and levels[1].ncell > 0
-    if use_amr:
+    n_data_levels = sum(1 for lv in levels if lv.ncell > 0)
+    use_amr = n_data_levels > 1
+    use_ml = n_data_levels > 2 and args.amr_depth > 2
+    ml_state = amr_state = None
+    if use_ml:
+        from .core import amr as amr_mod
+        ml_state, geom = amr_mod.multilevel_from_levels(
+            levels, cfg.read_metals, dtype=dtype, max_depth=args.amr_depth)
+        state = ml_state.levels[0]
+        use_amr = False
+        counts = [int(np.asarray(r).sum()) for r in ml_state.refined]
+        print(f"grid: {geom.nx}^3 + {ml_state.n_levels - 1} refined levels "
+              f"(refined parents per level: {counts})")
+    elif use_amr:
         from .core import amr as amr_mod
         amr_state, geom = amr_mod.amr_from_levels(levels, cfg.read_metals,
                                                   dtype=dtype)
@@ -145,7 +161,6 @@ def main(argv=None):
         print(f"grid: {geom.nx}^3 + refined level "
               f"({int(np.asarray(amr_state.refined).sum())} parents)")
     else:
-        amr_state = None
         state, geom = grid_io.build_uniform_state(levels, cfg.read_metals,
                                                   dtype=dtype)
     print(f"grid: {geom.nx}^3, box = {geom.physical_box_size / KPC:.1f} kpc")
@@ -182,11 +197,17 @@ def main(argv=None):
         if cfg.read_metals:
             metal_edges, metal_coefs = stellar_tables.metal_bucket_plan(
                 population)
+        if use_ml:
+            src_refined = np.asarray(ml_state.refined[0])
+        elif use_amr:
+            src_refined = np.asarray(amr_state.refined)
+        else:
+            src_refined = None
         batch, host, n_young = sources_io.prepare_sources(
             stars, geom.nx, cfg.upper_age_limit,
             abun2=np.asarray(state.abun2),
             metal_bucket_edges=metal_edges,
-            refined=np.asarray(amr_state.refined) if use_amr else None)
+            refined=src_refined)
         print(f"nStars/specificAge/non-degenerate = {len(stars.age)} "
               f"{n_young} {batch.n_sources}")
         # the reference's `weight` file (equiSources.f90:1214-1224)
@@ -220,7 +241,16 @@ def main(argv=None):
                    os.path.join(args.snapshot_dir, "rates.out"),
                    os.path.join(args.snapshot_dir, "cool_rates.out"))
         print("wrote rates.out, cool_rates.out")
-    if use_amr:
+    if use_ml:
+        from .core import amr as amr_mod, step_amr
+        amodel = step_amr.MultiLevelModel.setup(model, ml_state.n_levels)
+        ml_state = amr_mod.MultiLevelState(
+            levels=tuple(model.initialize_equilibrium(lv)
+                         for lv in ml_state.levels),
+            refined=ml_state.refined)
+        ml_state = amr_mod.sync_restriction_multi(ml_state)
+        nf0 = amodel.neutral_fraction(ml_state)
+    elif use_amr:
         import dataclasses as dc
 
         from .core import amr as amr_mod, step_amr
@@ -240,10 +270,13 @@ def main(argv=None):
             from .io import checkpoint as ckpt_mod
             path = ckpt_mod.latest_checkpoint(args.snapshot_dir)
             if path:
-                cur = amr_state if use_amr else state
+                cur = ml_state if use_ml else (
+                    amr_state if use_amr else state)
                 cur, meta = ckpt_mod.restore_sharded(path, cur)
                 itime = meta["itime"]
-                if use_amr:
+                if use_ml:
+                    ml_state = cur
+                elif use_amr:
                     amr_state = cur
                 else:
                     state = cur
@@ -254,7 +287,10 @@ def main(argv=None):
                     if cfg.restart_cell_array_name
                     else snapshot.latest_snapshot(args.snapshot_dir))
             if snap:
-                if use_amr:
+                if use_ml:
+                    ml_state, itime = snapshot.read_snapshot_ml(snap,
+                                                                ml_state)
+                elif use_amr:
                     amr_state, itime = snapshot.read_snapshot_amr(snap,
                                                                   amr_state)
                 else:
@@ -264,7 +300,7 @@ def main(argv=None):
     tlog = snapshot.TimeLog(os.path.join(args.snapshot_dir, "time"))
     species = None
     if args.chemistry == "noneq":
-        if use_amr:
+        if use_amr or use_ml:
             sys.exit("--chemistry noneq is uniform-grid only")
         from .core import chemistry_noneq as cn
         species = cn.species_from_field_state(state)
@@ -272,6 +308,11 @@ def main(argv=None):
                                      evolve_energy=args.evolve_energy)
         print(f"non-equilibrium chemistry: dt = {args.dt_myr} Myr, "
               f"evolve_energy = {args.evolve_energy}")
+    elif use_ml:
+        if mesh is not None:
+            print("warning: >2-level grids run single-device; ignoring the "
+                  "device mesh (the two-level path is the sharded one)")
+        step = amodel.make_step(stellar_ctx)
     elif use_amr:
         if mesh is not None:
             if cfg.sweep_strategy not in ("", "auto"):
@@ -290,7 +331,15 @@ def main(argv=None):
     for _ in range(max_iter):
         itime += 1
         t0 = time.time()
-        if use_amr:
+        if use_ml:
+            if stellar_ctx is not None:
+                ml_state, diag = step(ml_state)
+            else:
+                ml_state = step(ml_state)
+                diag = None
+            nf = amodel.neutral_fraction(ml_state)
+            state = ml_state
+        elif use_amr:
             if stellar_ctx is not None:
                 amr_state, diag = step(amr_state)
             else:
@@ -327,8 +376,12 @@ def main(argv=None):
             from .io import checkpoint as ckpt_mod
             ckpt_mod.save_sharded(
                 ckpt_mod.checkpoint_name(itime, args.snapshot_dir),
-                amr_state if use_amr else state, itime,
-                geom.physical_box_size)
+                ml_state if use_ml else (amr_state if use_amr else state),
+                itime, geom.physical_box_size)
+        elif use_ml:
+            snapshot.write_snapshot_ml(
+                snapshot.snapshot_name(itime, args.snapshot_dir), ml_state,
+                itime, geom.physical_box_size)
         elif use_amr:
             snapshot.write_snapshot_amr(
                 snapshot.snapshot_name(itime, args.snapshot_dir), amr_state,

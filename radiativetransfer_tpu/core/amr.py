@@ -96,6 +96,197 @@ def sync_restriction(state: AMRState) -> AMRState:
     return dataclasses.replace(state, base=base)
 
 
+# ---------------------------------------------------------------------------
+# L-level nested grids (VERDICT r1 item 7)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MultiLevelState:
+    """L-level nested state: level l is a dense FieldState on (n*2^l)^3.
+
+    refined[l] (l = 0..L-2) marks level-l cells refined into level l+1;
+    properly nested (refined[l] implies all ancestors refined) and 2:1
+    face-balanced (enforce_balance).  The reference's fully-threaded octree
+    (definitionsModule.f90:163-180, insertion recursion
+    equiSources.f90:1870-1974) nests arbitrarily deep; this is its dense
+    per-level analog (SURVEY.md §7.1).
+    """
+    levels: tuple
+    refined: tuple
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n(self) -> int:
+        return self.levels[0].rho.shape[0]
+
+    def cover_masks(self):
+        """cover[l]: the cell exists at level l (all ancestors refined)."""
+        masks = [jnp.ones(self.levels[0].rho.shape, bool)]
+        for r in self.refined:
+            masks.append(prolong(r & masks[-1]))
+        return masks
+
+    def leaf_masks(self):
+        cover = self.cover_masks()
+        out = []
+        for ell, c in enumerate(cover):
+            if ell < len(self.refined):
+                out.append(c & ~self.refined[ell])
+            else:
+                out.append(c)
+        return out
+
+    def n_leaves(self) -> int:
+        return sum(int(jnp.sum(m)) for m in self.leaf_masks())
+
+
+def _dilate_faces(mask: np.ndarray) -> np.ndarray:
+    """6-neighborhood (face) dilation of a bool volume."""
+    out = mask.copy()
+    for ax in range(3):
+        out |= np.roll(mask, 1, ax) & (np.arange(mask.shape[ax]) != 0
+                                       ).reshape([-1 if a == ax else 1
+                                                  for a in range(3)])
+        out |= np.roll(mask, -1, ax) & (np.arange(mask.shape[ax])
+                                        != mask.shape[ax] - 1
+                                        ).reshape([-1 if a == ax else 1
+                                                   for a in range(3)])
+    return out
+
+
+def restrict_any(mask: np.ndarray) -> np.ndarray:
+    n = mask.shape[0] // 2
+    return mask.reshape(n, 2, n, 2, n, 2).any(axis=(1, 3, 5))
+
+
+def enforce_balance(refined: list[np.ndarray]) -> list[np.ndarray]:
+    """Make refinement maps properly nested and 2:1 face-balanced.
+
+    Where a level-(l+1) refined cell's face neighbor would jump two levels,
+    the neighbor's parent is refined too (its children fill by prolongation,
+    the reference's refine-time parent copy, equiSources.f90:1892-1896).
+    """
+    refined = [np.asarray(r, bool).copy() for r in refined]
+    for ell in range(len(refined) - 1, 0, -1):
+        # proper nesting: a refined cell must itself be covered
+        refined[ell - 1] |= restrict_any(refined[ell])
+        # 2:1 face balance: face neighbors of refined cells must exist
+        refined[ell - 1] |= restrict_any(_dilate_faces(refined[ell]))
+    return refined
+
+
+def check_balance(refined) -> bool:
+    refined = [np.asarray(r, bool) for r in refined]
+    for ell in range(1, len(refined)):
+        need = restrict_any(_dilate_faces(refined[ell]))
+        if not np.all(refined[ell - 1] | ~need):
+            return False
+    return True
+
+
+def make_multilevel_state(base: FieldState, refined,
+                          fines: list[FieldState] | None = None
+                          ) -> MultiLevelState:
+    """Build an L-level state; absent fine data prolongs from the base."""
+    refined = tuple(jnp.asarray(r, bool) for r in refined)
+    levels = [base]
+    for ell in range(len(refined)):
+        if fines is not None and ell < len(fines):
+            levels.append(fines[ell])
+        else:
+            levels.append(jax.tree_util.tree_map(
+                lambda x: (prolong(x) if x.ndim == 3 else
+                           jnp.stack([prolong(x[i])
+                                      for i in range(x.shape[0])])),
+                levels[-1]))
+    return MultiLevelState(levels=tuple(levels), refined=refined)
+
+
+def sync_restriction_multi(state: MultiLevelState) -> MultiLevelState:
+    """Propagate fine-leaf restrictions down to every coarser ancestor."""
+    levels = list(state.levels)
+    for ell in range(len(levels) - 2, -1, -1):
+        r = state.refined[ell]
+
+        def rs(b, f):
+            if b.ndim == 3:
+                return jnp.where(r, restrict(f), b)
+            return jnp.stack([jnp.where(r, restrict(f[i]), b[i])
+                              for i in range(b.shape[0])])
+        levels[ell] = jax.tree_util.tree_map(rs, levels[ell], levels[ell + 1])
+    return MultiLevelState(levels=tuple(levels), refined=state.refined)
+
+
+def multilevel_from_levels(level_lists, read_metals: bool, dtype=None,
+                           smooth_metals: bool = True, max_depth: int = 4):
+    """MultiLevelState from ingested level lists, keeping every level up to
+    max_depth dense (deeper ones conservatively averaged onto the deepest
+    kept level).  Replaces the two-level amr_from_levels averaging for
+    >=3-level reference grids (equiSources.f90:580-618)."""
+    from ..io import grid_io
+    dtype = dtype or jnp.float32
+    level_lists, box = grid_io.normalize_coordinates(level_lists)
+    n = round(level_lists[0].ncell ** (1.0 / 3.0))
+    geom = GridGeometry(n, n, n, box)
+    depth = min(len(level_lists), max_depth)
+
+    dense = [grid_io.levels_to_dense(level_lists[:1], n, read_metals)]
+    for ell in range(1, depth):
+        n_ell = n * 2 ** ell
+        # the deepest kept level absorbs (averages) anything deeper
+        lists = level_lists[ell:] if ell == depth - 1 else level_lists[ell:ell + 1]
+        dense.append(grid_io.levels_to_dense(
+            [grid_io.LevelData(pos=lv.pos, lT=lv.lT, lnH=lv.lnH, lx=lv.lx,
+                               vel=lv.vel, abun=lv.abun) for lv in lists],
+            n_ell, read_metals))
+
+    refined = []
+    for ell in range(1, depth):
+        n_par = n * 2 ** (ell - 1)
+        r = np.zeros((n_par, n_par, n_par), bool)
+        idx = np.clip((level_lists[ell].pos * n_par).astype(int), 0, n_par - 1)
+        r[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+        refined.append(r)
+    refined = enforce_balance(refined)
+
+    states = []
+    for ell in range(depth):
+        d = dense[ell]
+        abun2 = d["abun2"]
+        if ell == 0 and read_metals and smooth_metals:
+            abun2 = grid_io.smooth_metallicity(abun2)
+        if ell > 0:
+            # fill cells without data (unrefined regions + balance-added
+            # refinement) by prolongation from the level below
+            pb = {k: np.repeat(np.repeat(np.repeat(
+                filled_prev[k], 2, 0), 2, 1), 2, 2)
+                for k in ("nh", "tgas", "xneu", "abun2")}
+            d = {k: np.where(d[k] > 0 if k != "abun2" else d["nh"] > 0,
+                             d[k], pb[k]) for k in pb}
+            abun2 = d["abun2"]
+        filled_prev = {"nh": d["nh"], "tgas": d["tgas"], "xneu": d["xneu"],
+                       "abun2": abun2}
+        states.append(make_state(d["nh"] * MH / PSI, d["tgas"],
+                                 d["nh"] * d["xneu"], abun2=abun2,
+                                 dtype=dtype))
+
+    state = MultiLevelState(levels=tuple(states),
+                            refined=tuple(jnp.asarray(r) for r in refined))
+    return sync_restriction_multi(state), geom
+
+
+def two_level_view(state: MultiLevelState) -> AMRState:
+    """The L=2 special case as an AMRState (for the optimized 2-level path)."""
+    assert state.n_levels == 2
+    return AMRState(base=state.levels[0], fine=state.levels[1],
+                    refined=state.refined[0])
+
+
 def amr_from_levels(levels, read_metals: bool, dtype=None,
                     smooth_metals: bool = True):
     """Two-level AMRState from ingested level lists (grid construction,

@@ -1,0 +1,346 @@
+"""L-level AMR point-source ray tracer.
+
+Generalizes the two-level tracer (core.rays_amr) to arbitrary nesting depth:
+every ray tracks its containing FINEST-grid cell index; a dense leaf-level
+volume (at finest resolution) selects the local cell size for face
+crossings, optical depths, split radii, and the per-level rate deposits.
+
+Reference semantics (equiSources.f90:2412-2595, 3120-3385): segment geometry
+in current-cell units (drawSegment), the split criterion at the LOCAL level
+(:2491 — the effective stop radius scales as 2^-level inside refined
+regions), deposits into the traversed leaf, and face hand-off by exact index
+arithmetic at the leaf's granularity (findXY/YZ/XZNeighbour + zoom*,
+:2647-2960, replacing the octree walk with dense shifts/masks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    COMPLETE_SUBLIMATION,
+    KPC,
+    MAX_PIXEL_LEVEL,
+    NO_DUST,
+    OUTPUT_RADII_KPC,
+    SIGMA24_AT_NU1,
+    SIGMA25_AT_NU3,
+    SIGMA26_AT_NU2,
+    SIGMA_DUST_AT_NU1,
+    rmax_table,
+)
+from .rays import (
+    RateFields,
+    RayDiagnostics,
+    SourceBatch,
+    _deposit_quadrature,
+    _interp_flat,
+    _pack_fields,
+    _pack_tables,
+    _spawn_phase,
+    _split_rays,
+)
+
+_TAU_KILL = 100.0
+
+
+def leaf_level_volume(refined, n: int, n_levels: int) -> jnp.ndarray:
+    """Dense (nF^3,) int32 leaf level at FINEST resolution: the number of
+    refined ancestors of each finest-grid cell (properly nested maps)."""
+    nF = n * 2 ** (n_levels - 1)
+    lvl = jnp.zeros((nF, nF, nF), jnp.int32)
+    cover = jnp.ones((n, n, n), bool)
+    for ell, r in enumerate(refined):
+        rc = jnp.asarray(r, bool) & cover
+        rep = 2 ** (n_levels - 1 - ell)
+        up = jnp.repeat(jnp.repeat(jnp.repeat(rc, rep, 0), rep, 1), rep, 2)
+        lvl = lvl + up.astype(jnp.int32)
+        cover = jnp.repeat(jnp.repeat(jnp.repeat(rc, 2, 0), 2, 1), 2, 2)
+    return lvl.reshape(-1)
+
+
+def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
+                    rfs, r_stop: float, last_phase: bool,
+                    dust_approximation: int, max_steps: int, src_of_ray):
+    """March one phase on an L-level grid.
+
+    state.cell holds FINEST-grid indices; fields: dict with per-level packed
+    arrays 'lv0'..'lv{L-1}' ((n*2^l)^3, 5) and 'leaf_level' (nF^3,).
+    rfs: tuple of per-level RateFields.
+    """
+    L = n_levels
+    n = geom.nx
+    nF = n * 2 ** (L - 1)
+    cell_size = geom.cell_size
+    dtype = state.ndot.dtype
+    out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
+    R = state.pos.shape[0]
+    rem_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
+    bnd_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
+    rates_mode = rate_ctx[0]
+    inv2 = jnp.asarray(0.5 ** np.arange(L), dtype)
+
+    def flat_at(cf, ell):
+        nl = n * 2 ** ell
+        c = cf >> (L - 1 - ell)
+        return (c[:, 0] * nl + c[:, 1]) * nl + c[:, 2]
+
+    def step(carry):
+        state, rem_acc, bnd_acc, rfs, it = carry
+        d = state.direction
+        d_safe = jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+
+        cf = state.cell                                     # finest (R,3)
+        lvl = fields["leaf_level"][flat_at(cf, L - 1)]      # (R,) int32
+        shift = (L - 1) - lvl
+
+        dpos = (d_safe > 0.0).astype(cf.dtype)
+        # exit faces at the LEAF's granularity, in finest-grid units
+        f_bound = (((cf >> shift[:, None]) + dpos) << shift[:, None])
+        t_ax = (f_bound / nF - state.pos) / d_safe
+        t_min = jnp.min(t_ax, axis=1)
+        exit_axis = jnp.argmin(t_ax, axis=1)
+        seg_cells = t_min * n                               # base-cell units
+
+        # split radius at the local level (:2491)
+        r_stop_local = (r_stop * jnp.take(inv2, lvl)).astype(dtype)
+        radius_new = state.radius + seg_cells
+        if last_phase:
+            will_split = jnp.zeros_like(state.alive)
+            cut = jnp.zeros_like(state.alive)
+        else:
+            will_split = radius_new >= r_stop_local
+            cut = will_split
+            seg_cells = jnp.where(
+                cut, jnp.maximum(r_stop_local - state.radius, 0.0), seg_cells)
+            radius_new = state.radius + seg_cells
+            t_min = seg_cells / n
+
+        active = state.alive
+        plen = seg_cells * cell_size
+
+        fv = jnp.zeros((R, 5), dtype)
+        for ell in range(L):
+            sel = (lvl == ell)
+            fv = jnp.where(sel[:, None], fields[f"lv{ell}"][flat_at(cf, ell)],
+                           fv)
+        hi, hei, heii, nh, ab2 = (fv[:, 0], fv[:, 1], fv[:, 2], fv[:, 3],
+                                  fv[:, 4])
+
+        tau1 = plen * hi * SIGMA24_AT_NU1
+        tau2 = plen * hei * SIGMA26_AT_NU2
+        tau3 = plen * heii * SIGMA25_AT_NU3
+        if dust_approximation == NO_DUST:
+            taud = jnp.zeros_like(tau1)
+        elif dust_approximation == COMPLETE_SUBLIMATION:
+            taud = plen * hi * SIGMA_DUST_AT_NU1 * ab2 / 0.2
+        else:
+            taud = plen * nh * SIGMA_DUST_AT_NU1 * ab2 / 0.2
+        tau = jnp.stack([tau1, tau2, tau3, taud], axis=1)
+        tau = jnp.where(active[:, None], tau, 0.0)
+
+        # escape-fraction bookkeeping (equiSources.f90:3198-3226)
+        r1 = state.radius * cell_size
+        r2 = radius_new * cell_size
+        in_seg = ((out_radii[None, :] >= r1[:, None])
+                  & (out_radii[None, :] <= r2[:, None]) & active[:, None])
+        ratio = jnp.where(in_seg,
+                          (out_radii[None, :] - r1[:, None])
+                          / jnp.maximum((r2 - r1)[:, None], 1e-30), 0.0)
+        esc = state.ndot[:, None] * jnp.exp(
+            -(ratio * (tau1 + taud)[:, None]
+              + (state.depth[:, 0] + state.depth[:, 3])[:, None]))
+        rem_acc = rem_acc + jnp.where(in_seg, esc, 0.0)
+        crossing = in_seg[:, -1] & ~state.crossed
+        cross_depth = jnp.where(crossing[:, None],
+                                state.depth + ratio[:, -1:] * tau,
+                                state.cross_depth)
+        crossed = state.crossed | crossing
+
+        # rate deposits into the traversed leaf (:3243-3260)
+        w = jnp.where(active, state.ndot, 0.0)
+        d0 = state.depth
+        if rates_mode == "table":
+            depths4 = jnp.concatenate([
+                d0, d0.at[:, 0].add(tau1), d0.at[:, 1].add(tau2),
+                d0.at[:, 2].add(tau3)], axis=0)
+            tidx4 = jnp.concatenate([state.table_idx] * 4)
+            v = _interp_flat(rate_ctx[1], tidx4, depths4,
+                             dust_approximation != NO_DUST)
+            v_in, v_a1, v_a2, v_a3 = jnp.split(v, 4, axis=0)
+            dep_unit = (
+                v_in[:, 0] - v_a1[:, 0], v_in[:, 2] - v_a3[:, 2],
+                v_in[:, 1] - v_a2[:, 1], v_in[:, 3] - v_a1[:, 3],
+                v_in[:, 5] - v_a3[:, 5], v_in[:, 4] - v_a2[:, 4])
+            deposit = tuple(w * x for x in dep_unit)
+        else:
+            quad_A, quad_W = rate_ctx[1]
+            dtau = jnp.stack([tau1, tau2, tau3], axis=1)
+            deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                          state.table_idx, w)
+
+        new_rfs = []
+        for ell in range(L):
+            on_l = (lvl == ell).astype(w.dtype)
+            idx_l = flat_at(cf, ell)
+            new_rfs.append(RateFields(*(
+                getattr(rfs[ell], f.name).at[idx_l].add(v * on_l)
+                for f, v in zip(dataclasses.fields(rfs[ell]), deposit))))
+        rfs = tuple(new_rfs)
+
+        # advance: snap the crossing coordinate onto the face, exact index
+        # arithmetic on the crossed axis, relocalize the others
+        depth_new = state.depth + tau
+        pos_new = state.pos + t_min[:, None] * d
+        face_f = jnp.take_along_axis(f_bound, exit_axis[:, None], axis=1)[:, 0]
+        on_axis = jnp.arange(3)[None, :] == exit_axis[:, None]
+        pos_new = jnp.where(on_axis & ~cut[:, None],
+                            (face_f / nF)[:, None], pos_new)
+        pos_dir = d_safe > 0
+        new_axis_idx = jnp.where(
+            jnp.take_along_axis(pos_dir, exit_axis[:, None], axis=1)[:, 0],
+            face_f, face_f - 1).astype(cf.dtype)
+        nudge = jnp.sign(d_safe) * (1.0e-6 / nF)
+        cf_from_pos = jnp.clip(((pos_new + nudge) * nF).astype(cf.dtype),
+                               0, nF - 1)
+        cell_new = jnp.where(on_axis, new_axis_idx[:, None], cf_from_pos)
+        cell_new = jnp.where(cut[:, None], state.cell, cell_new)
+
+        out_of_box = jnp.any((cell_new < 0) | (cell_new >= nF), axis=1) & ~cut
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+
+        hit_boundary = active & out_of_box
+        beyond = out_radii[None, :] > r2[:, None]
+        bnd_acc = bnd_acc + jnp.where(beyond & hit_boundary[:, None],
+                                      state.ndot[:, None], 0.0)
+
+        alive_new = active & ~out_of_box & ~killed_tau & ~will_split
+        split_new = state.split | (active & will_split & ~killed_tau)
+
+        state = dataclasses.replace(
+            state, pos=jnp.where(active[:, None], pos_new, state.pos),
+            cell=jnp.where(active[:, None], cell_new, state.cell),
+            radius=jnp.where(active, radius_new, state.radius),
+            depth=jnp.where(active[:, None], depth_new, state.depth),
+            alive=alive_new, split=split_new,
+            crossed=crossed, cross_depth=cross_depth)
+        return state, rem_acc, bnd_acc, rfs, it + 1
+
+    def cond(carry):
+        state, _, _, _, it = carry
+        return jnp.any(state.alive) & (it < max_steps)
+
+    state, rem_acc, bnd_acc, rfs, _ = jax.lax.while_loop(
+        cond, step, (state, rem_acc0, bnd_acc0, rfs, jnp.int32(0)))
+    diag = dataclasses.replace(
+        diag,
+        ndot_remaining=diag.ndot_remaining.at[src_of_ray].add(rem_acc),
+        ndot_boundary=diag.ndot_boundary.at[src_of_ray].add(bnd_acc))
+    return state, diag, rfs
+
+
+def _trace_all_phases_ml(fields, init_state, tables, geom, n_levels,
+                         n_sources, dust_approximation, max_pixel_level,
+                         dtype, rates_mode: str = "quadrature"):
+    n = geom.nx
+    nF = n * 2 ** (n_levels - 1)
+    rmax = rmax_table()
+    diag = RayDiagnostics.zeros(n_sources, dtype)
+    rfs = tuple(RateFields(*[jnp.zeros((n * 2 ** ell) ** 3, dtype)
+                             for _ in range(6)])
+                for ell in range(n_levels))
+    if rates_mode == "quadrature":
+        rate_ctx = ("quadrature", (jnp.asarray(tables["quad_A"], dtype),
+                                   jnp.asarray(tables["quad_W"], dtype)))
+    else:
+        rate_ctx = ("table", _pack_tables(tables["reaction_log"],
+                                          tables["energy_log"]))
+    state = init_state
+
+    sig_ratio = jnp.stack([
+        jnp.asarray(tables["output_sigma24"], dtype) / SIGMA24_AT_NU1,
+        jnp.asarray(tables["output_sigma26"], dtype) / SIGMA26_AT_NU2,
+        jnp.asarray(tables["output_sigma25"], dtype) / SIGMA25_AT_NU3,
+        jnp.asarray(tables["output_sigma_dust"], dtype) / SIGMA_DUST_AT_NU1,
+    ])
+
+    for level in range(1, max_pixel_level + 1):
+        last = level == max_pixel_level
+        r_stop = rmax[level - 1]
+        max_steps = (int(12 * n * 2 ** (n_levels - 1) + 64) if last
+                     else int(6 * 2 ** (n_levels - 1) * (r_stop + 2) + 32))
+        rays_per_source = 12 * 4 ** (level - 1)
+        src_of_ray = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32),
+                                rays_per_source)
+        state, diag, rfs = _march_phase_ml(
+            state, fields, geom, n_levels, rate_ctx, diag, rfs,
+            r_stop, last, dust_approximation, max_steps, src_of_ray)
+
+        spec_tau = state.cross_depth @ sig_ratio
+        contrib = jnp.where(state.crossed[:, None],
+                            state.ndot[:, None] * jnp.exp(-spec_tau), 0.0)
+        diag = dataclasses.replace(
+            diag, ndot_spectrum=diag.ndot_spectrum.at[src_of_ray].add(contrib))
+        state = dataclasses.replace(state,
+                                    crossed=jnp.zeros_like(state.crossed))
+
+        if not last:
+            state, in_box, was_split = _split_rays(state, level, n, dtype,
+                                                   cell_grid=nF)
+            lost = was_split & ~in_box
+            out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
+            r2 = state.radius * geom.cell_size
+            beyond = out_radii[None, :] > r2[:, None]
+            src4 = jnp.repeat(src_of_ray, 4)
+            diag = dataclasses.replace(
+                diag, ndot_boundary=diag.ndot_boundary
+                .at[src4].add(jnp.where(beyond & lost[:, None],
+                                        state.ndot[:, None], 0.0)))
+
+    return rfs, diag
+
+
+_TRACER_CACHE: dict = {}
+
+
+def trace_point_sources_ml(ml_state, geom, sources: SourceBatch, tables,
+                           dust_approximation: int = NO_DUST,
+                           max_pixel_level: int = MAX_PIXEL_LEVEL,
+                           dtype=jnp.float64, rates_mode: str = "auto"):
+    """Trace sources through a MultiLevelState.
+
+    Returns (tuple of per-level RateFields, RayDiagnostics).
+    """
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
+    L = ml_state.n_levels
+    n = geom.nx
+    nF = n * 2 ** (L - 1)
+    fields = {"leaf_level": leaf_level_volume(ml_state.refined, n, L)}
+    for ell, st in enumerate(ml_state.levels):
+        fields[f"lv{ell}"] = _pack_fields(
+            st.HI.reshape(-1).astype(dtype),
+            st.HeI.reshape(-1).astype(dtype),
+            st.HeII.reshape(-1).astype(dtype),
+            st.nh.reshape(-1).astype(dtype),
+            st.abun2.reshape(-1).astype(dtype))
+    state = _spawn_phase(sources, 1, dtype)
+    state = dataclasses.replace(
+        state, cell=jnp.clip((state.pos * nF).astype(jnp.int32), 0, nF - 1))
+    tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+    key = (geom, L, sources.n_sources, dust_approximation, max_pixel_level,
+           jnp.dtype(dtype).name, rates_mode)
+    if key not in _TRACER_CACHE:
+        _TRACER_CACHE[key] = jax.jit(
+            partial(_trace_all_phases_ml, geom=geom, n_levels=L,
+                    n_sources=sources.n_sources,
+                    dust_approximation=dust_approximation,
+                    max_pixel_level=max_pixel_level, dtype=dtype,
+                    rates_mode=rates_mode))
+    return _TRACER_CACHE[key](fields, state, tables_dev)

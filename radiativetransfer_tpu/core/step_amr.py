@@ -150,3 +150,118 @@ class AMRModel:
         nh = (jnp.sum(jnp.where(r, 0.0, state.base.nh))
               + jnp.sum(jnp.where(rf, state.fine.nh, 0.0)) / 8.0)
         return float(hi / nh)
+
+
+@dataclasses.dataclass
+class MultiLevelModel:
+    """L-level model wrapper around an RTModel's tables/config.
+
+    Generalizes AMRModel to arbitrary nesting depth using the multilevel
+    sweep/tracer (core.sweep_multilevel, core.rays_multilevel).  Single
+    device for now; the two-level AMRModel remains the sharded fast path.
+    """
+    rt: "object"                      # core.step.RTModel
+    n_levels: int
+    plan: "object"                    # sweep_multilevel.MLSweepPlan | None
+
+    @classmethod
+    def setup(cls, rt_model, n_levels: int) -> "MultiLevelModel":
+        from . import sweep_multilevel
+        plan = None
+        if rt_model.config.run_uvb_transfer:
+            plan = sweep_multilevel.build_ml_sweep_plan(
+                rt_model.config.n_angular_level, rt_model.geom.nx, n_levels)
+        return cls(rt=rt_model, n_levels=n_levels, plan=plan)
+
+    def level_geom(self, ell: int) -> GridGeometry:
+        g = self.rt.geom
+        m = 2 ** ell
+        return GridGeometry(m * g.nx, m * g.ny, m * g.nz,
+                            g.physical_box_size)
+
+    def step(self, state: amr.MultiLevelState, stellar=None):
+        """One full iteration; returns (state, diag_or_None)."""
+        cfg = self.rt.config
+        state = amr.MultiLevelState(
+            levels=tuple(lv.zero_rates() for lv in state.levels),
+            refined=state.refined)
+        diag = None
+        if cfg.run_stellar_transfer and stellar is not None:
+            state, diag = self._traced(state, stellar)
+        return self._sweep_and_chemistry(state), diag
+
+    def _traced(self, state: amr.MultiLevelState, stellar):
+        from . import rays_multilevel
+        rt = self.rt
+        rfs, diag = rays_multilevel.trace_point_sources_ml(
+            state, rt.geom, stellar.sources, stellar.tables,
+            dust_approximation=stellar.dust_approximation,
+            max_pixel_level=stellar.max_pixel_level,
+            dtype=state.levels[0].rho.dtype)
+        new_levels = []
+        for ell, (lv, rf) in enumerate(zip(state.levels, rfs)):
+            # quad_W carries 1/base-cell-volume: level-l cells have 8^-l
+            # the volume, so volumetric rates scale by 8^l (cf. AMRModel)
+            s = 8.0 ** ell
+            shp = lv.shape
+            new_levels.append(dataclasses.replace(
+                lv,
+                krate24=rf.krate24.reshape(shp) * s,
+                krate25=rf.krate25.reshape(shp) * s,
+                krate26=rf.krate26.reshape(shp) * s,
+                crate24=rf.crate24.reshape(shp) * s,
+                crate25=rf.crate25.reshape(shp) * s,
+                crate26=rf.crate26.reshape(shp) * s))
+        return amr.MultiLevelState(levels=tuple(new_levels),
+                                   refined=state.refined), diag
+
+    def _sweep_and_chemistry(self, state: amr.MultiLevelState):
+        from . import sweep_multilevel
+        rt = self.rt
+        cfg = rt.config
+        if cfg.run_uvb_transfer:
+            kappas = [opacity.compute_opacities(lv.HI, lv.HeI, lv.HeII,
+                                                rt.opacity_coef)
+                      for lv in state.levels]
+            js = sweep_multilevel.diffuse_sweep_multilevel(
+                kappas, list(state.refined), self.plan,
+                jnp.asarray(rt.uvb, kappas[0].dtype), rt.geom.cell_size)
+            state = amr.MultiLevelState(
+                levels=tuple(dataclasses.replace(lv, Jmean=j)
+                             for lv, j in zip(state.levels, js)),
+                refined=state.refined)
+
+        kwargs = dict(
+            ksi_matrix=rt.ksi_matrix, gamma_thin=rt.gamma_thin,
+            self_shielding_threshold=cfg.self_shielding_threshold,
+            run_uvb_transfer=cfg.run_uvb_transfer,
+            n_iter=110 if state.levels[0].rho.dtype == jnp.float64 else 60)
+        new_levels = tuple(
+            chemistry.solve_rate_equations(lv, self.level_geom(ell),
+                                           rt.dev_tables, **kwargs)
+            for ell, lv in enumerate(state.levels))
+        state = amr.MultiLevelState(levels=new_levels, refined=state.refined)
+        return amr.sync_restriction_multi(state)
+
+    def make_step(self, stellar=None):
+        """Compiled L-level iteration (tracer keeps its own cache)."""
+        if stellar is None:
+            return jax.jit(lambda s: self.step(s)[0])
+        rest = jax.jit(self._sweep_and_chemistry)
+
+        def step(state):
+            state = amr.MultiLevelState(
+                levels=tuple(lv.zero_rates() for lv in state.levels),
+                refined=state.refined)
+            s2, diag = self._traced(state, stellar)
+            return rest(s2), diag
+
+        return step
+
+    def neutral_fraction(self, state: amr.MultiLevelState) -> float:
+        leafs = state.leaf_masks()
+        hi = sum(float(jnp.sum(jnp.where(m, lv.HI, 0.0))) * 8.0 ** -ell
+                 for ell, (lv, m) in enumerate(zip(state.levels, leafs)))
+        nh = sum(float(jnp.sum(jnp.where(m, lv.nh, 0.0))) * 8.0 ** -ell
+                 for ell, (lv, m) in enumerate(zip(state.levels, leafs)))
+        return hi / nh

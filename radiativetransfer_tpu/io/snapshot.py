@@ -169,6 +169,96 @@ def read_snapshot_amr(path: str, state) -> tuple["object", int]:
     return amr_mod.sync_restriction(state), itime
 
 
+def write_snapshot_ml(path: str, state, itime: int,
+                      physical_box_size: float) -> None:
+    """Write an L-level MultiLevelState in depth-first cellArray leaf order
+    (the SFC codec handles arbitrary nesting)."""
+    from . import sfc
+    n = state.n
+    refined_np = [np.asarray(r, np.uint8) for r in state.refined]
+    enum = sfc.enumerate_leaves(n, n, n, refined_np)
+
+    def leaves(attr):
+        return sfc.gather_leaves(
+            enum, [np.asarray(getattr(lv, attr), np.float64)
+                   for lv in state.levels]).astype(np.float32)
+
+    data = {
+        "base_grid_size": np.array(state.levels[0].shape, np.int32),
+        "itime": np.int32(itime),
+        "physical_box_size": np.float64(physical_box_size),
+        "n_levels": np.int32(state.n_levels),
+        "level": enum["level"].astype(np.int32),
+        "HI": leaves("HI"), "HeI": leaves("HeI"), "HeII": leaves("HeII"),
+        "temperature": leaves("tgas"), "density": leaves("rho"),
+        "abun2": leaves("abun2"),
+    }
+    for ell, r in enumerate(refined_np):
+        data[f"refined_{ell}"] = r
+    np.savez_compressed(path, **data)
+
+
+def read_snapshot_ml(path: str, state) -> tuple["object", int]:
+    """Re-inflate an L-level snapshot onto an existing MultiLevelState
+    (restart), with the reference's species clamps."""
+    import jax.numpy as jnp
+
+    from ..core import amr as amr_mod
+    from . import sfc
+    n = state.n
+    L = state.n_levels
+    with np.load(path) as f:
+        itime = int(f["itime"])
+        if int(f["n_levels"]) != L:
+            raise ValueError("snapshot depth differs from the state")
+        refined_np = [f[f"refined_{ell}"] for ell in range(L - 1)]
+        for r_snap, r_st in zip(refined_np, state.refined):
+            if not np.array_equal(r_snap.astype(bool), np.asarray(r_st)):
+                raise ValueError(
+                    "snapshot refinement maps differ from the state "
+                    "(structure is rebuilt from the input grid, "
+                    "equiSources.f90:1124-1127)")
+        enum = sfc.enumerate_leaves(n, n, n, refined_np)
+        shapes = [lv.shape for lv in state.levels]
+
+        def fields(key):
+            return sfc.scatter_leaves(enum, f[key].astype(np.float64),
+                                      shapes)
+
+        his, heis, heiis, ts = (fields("HI"), fields("HeI"),
+                                fields("HeII"), fields("temperature"))
+
+    def clamp(st, hi, hei, heii, tg):
+        dt = st.HI.dtype
+        nh, nhe = st.nh, st.nhe
+        hi = jnp.clip(jnp.asarray(hi, dt), 0.0, nh)
+        hei = jnp.maximum(jnp.asarray(hei, dt), 0.0)
+        heii = jnp.maximum(jnp.asarray(heii, dt), 0.0)
+        tot = hei + heii
+        scale = jnp.where(tot > nhe, nhe / jnp.where(tot > 0, tot, 1.0), 1.0)
+        return dataclasses.replace(st, HI=hi, HeI=hei * scale,
+                                   HeII=heii * scale,
+                                   tgas=jnp.asarray(tg, dt))
+
+    new_levels = [clamp(lv, his[ell], heis[ell], heiis[ell], ts[ell])
+                  for ell, lv in enumerate(state.levels)]
+    # non-leaf positions got zeros from the scatter: fill by prolongation
+    # so the dense fields stay everywhere defined
+    for ell in range(1, L):
+        cov = amr_mod.prolong(jnp.asarray(state.refined[ell - 1], bool))
+        prev = new_levels[ell - 1]
+        cur = new_levels[ell]
+        new_levels[ell] = dataclasses.replace(
+            cur,
+            HI=jnp.where(cov, cur.HI, amr_mod.prolong(prev.HI)),
+            HeI=jnp.where(cov, cur.HeI, amr_mod.prolong(prev.HeI)),
+            HeII=jnp.where(cov, cur.HeII, amr_mod.prolong(prev.HeII)),
+            tgas=jnp.where(cov, cur.tgas, amr_mod.prolong(prev.tgas)))
+    state = amr_mod.MultiLevelState(levels=tuple(new_levels),
+                                    refined=state.refined)
+    return amr_mod.sync_restriction_multi(state), itime
+
+
 def latest_snapshot(directory: str = ".") -> str | None:
     """Most recent cellArrayNNNN snapshot in a directory."""
     best, best_i = None, -1

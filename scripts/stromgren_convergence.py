@@ -34,6 +34,39 @@ from radiativetransfer_tpu.tables import stellar
 Q_ION = 5.0e48
 NH = 1.0e-3
 BOX = 16.0 * KPC
+R_CAP = 0.45 * BOX     # estimator cap: stay inside the inscribed sphere
+
+
+def radial_oracle(quad_a: np.ndarray, quad_w: np.ndarray, alpha_b: float,
+                  n_r: int = 8192, n_iter: int = 40) -> dict:
+    """High-resolution 1-D spherically-symmetric equilibrium profile.
+
+    Solves the same physics as the 3-D run — multi-frequency attenuation
+    with the SAME spectral quadrature (A, W) and case-B recombination at
+    T = 1e4 K — on a fine radial grid, so the 3-D front-radius error
+    against it measures RESOLUTION error only (the analytic monochromatic
+    R_S misses spectral hardening: hard sigma ~ nu^-3 photons pre-ionize
+    gas beyond the front, a physical offset that does not shrink with n).
+    """
+    sig = quad_a[0] * float(__import__(
+        "radiativetransfer_tpu.constants", fromlist=["SIGMA24_AT_NU1"]
+    ).SIGMA24_AT_NU1)                                   # (F,) sigma_HI [cm^2]
+    n_phot = quad_w[:, 0].copy()                        # photons/s per bin
+    r = (np.arange(n_r) + 0.5) * (R_CAP / n_r)
+    dr = R_CAP / n_r
+    x = np.full(n_r, 1e-6)
+    for _ in range(n_iter):
+        col = np.concatenate([[0.0], np.cumsum(NH * x * dr)])[:-1]   # (n_r,)
+        atten = np.exp(-np.minimum(col[:, None] * sig[None, :], 200.0))
+        gam = (atten * (n_phot * sig)[None, :]).sum(1) / (4 * np.pi * r ** 2)
+        b = 2.0 * alpha_b * NH + gam
+        x = (b - np.sqrt(np.maximum(b * b - 4 * (alpha_b * NH) ** 2, 0.0))) \
+            / (2.0 * alpha_b * NH)
+        x = np.clip(x, 1e-12, 1.0)
+    v_ion = float(((1.0 - x) * 4 * np.pi * r ** 2 * dr).sum())
+    r_vol = (3.0 * v_ion / (4.0 * np.pi)) ** (1.0 / 3.0)
+    r_half = float(np.interp(0.5, x, r))    # x monotonically rises outward
+    return {"r_vol": r_vol, "r_half": r_half, "x": x, "r": r}
 
 
 def run_one(n: int, max_pixel_level: int, dtype) -> dict:
@@ -59,10 +92,15 @@ def run_one(n: int, max_pixel_level: int, dtype) -> dict:
     src = rays.SourceBatch(position=pos, weight=np.array([1.0]),
                            table_idx=np.array([0], np.int32))
     state = uniform_state(n, nh=NH, tgas=1e4, dtype=dtype)
+    # pure hydrogen, like the 1-D oracle: with H-only chemistry, neutral He
+    # would otherwise absorb every >24.6 eV photon forever
+    z = jnp.zeros_like(state.HeI)
+    state = dataclasses.replace(state, HeI=z, HeII=z)
 
     HI = state.HI
     t0 = time.perf_counter()
-    for it in range(40):
+    n_iters = int(os.environ.get("STROM_ITERS", "40"))
+    for it in range(n_iters):
         st = dataclasses.replace(state, HI=HI)
         rf, _ = rays.trace_point_sources(st, geom, src, tables,
                                          max_pixel_level=max_pixel_level,
@@ -89,8 +127,13 @@ def run_one(n: int, max_pixel_level: int, dtype) -> dict:
     idx = np.indices((n, n, n))
     r_cm = np.sqrt(((idx - c) ** 2).sum(axis=0)) * geom.cell_size
 
-    # front estimator 1: ionized-volume radius (3 V_ion / 4pi)^(1/3)
-    v_ion = float(((1.0 - xneu) * geom.cell_volume).sum())
+    # 1-D oracle with the same spectral quadrature (resolution-error target)
+    orc = radial_oracle(quad_a, quad_w, alpha_b)
+
+    # front estimator 1: ionized-volume radius (3 V_ion / 4pi)^(1/3),
+    # capped at the inscribed sphere like the oracle
+    inside = r_cm < R_CAP
+    v_ion = float(((1.0 - xneu[inside]) * geom.cell_volume).sum())
     r_vol = (3.0 * v_ion / (4.0 * np.pi)) ** (1.0 / 3.0)
     # front estimator 2: shell-averaged xneu = 0.5 crossing
     shells = np.linspace(0.05 * r_s, 2.0 * r_s, 61)
@@ -103,8 +146,10 @@ def run_one(n: int, max_pixel_level: int, dtype) -> dict:
     return {"n": n, "mpl": max_pixel_level, "iters": it + 1, "time_s": dt,
             "r_s_kpc": r_s / KPC, "r_eff_kpc": r_eff / KPC,
             "r_vol_kpc": r_vol / KPC, "r_half_kpc": r_half / KPC,
-            "err_vol_pct": 100 * (r_vol - r_eff) / r_eff,
-            "err_half_pct": 100 * (r_half - r_eff) / r_eff,
+            "orc_vol_kpc": orc["r_vol"] / KPC,
+            "orc_half_kpc": orc["r_half"] / KPC,
+            "err_vol_pct": 100 * (r_vol - orc["r_vol"]) / orc["r_vol"],
+            "err_half_pct": 100 * (r_half - orc["r_half"]) / orc["r_half"],
             "fesc_pct": 100 * (1.0 - q_abs / q_ion)}
 
 
@@ -119,7 +164,9 @@ def main():
         r = run_one(n, mpl.get(n, 6), dtype)
         print(f"n={r['n']:4d} mpl={r['mpl']} iters={r['iters']:2d} "
               f"{r['time_s']:6.1f}s  R_S={r['r_s_kpc']:.3f} "
-              f"R_eff={r['r_eff_kpc']:.3f} kpc (esc {r['fesc_pct']:.1f}%)  "
+              f"oracle R_vol={r['orc_vol_kpc']:.3f} "
+              f"R_half={r['orc_half_kpc']:.3f} kpc "
+              f"(esc {r['fesc_pct']:.1f}%)  "
               f"R_vol={r['r_vol_kpc']:.3f} ({r['err_vol_pct']:+.2f}%)  "
               f"R_half={r['r_half_kpc']:.3f} ({r['err_half_pct']:+.2f}%)")
 

@@ -323,6 +323,156 @@ def serial_sweep_two_level(kappa_c: np.ndarray, kappa_f: np.ndarray,
     return jc, jf
 
 
+def serial_sweep_multilevel(kappas: list, refined: list,
+                            n_angular_level: int, uvb: np.ndarray,
+                            cell_size: float, directions=None):
+    """Serial L-level sweep oracle.
+
+    Generalizes serial_sweep_two_level to arbitrary nesting depth: the
+    reference's recursive transport (transportRoutinesModule.f90:560-963)
+    visits cells depth-first in rotated order; upwind reads ascend to the
+    leaf containing the neighbor (findNeighbours walk) or descend into its
+    children by the consuming ray's face footpoint (getXY/XZ/YZNeighbour
+    descent, :455-558), to ANY depth.
+
+    kappas: list of (3, n*2^l, ...) per level; refined: list of L-1 bool
+    volumes.  Returns a list of per-level Jmean arrays (zero on non-leaves).
+    """
+    from radiativetransfer_tpu.core.sweep_amr import _build_chain, _child_start
+    from radiativetransfer_tpu.geometry.patterns import TAG_XY, TAG_XZ, TAG_YZ
+
+    L = len(kappas)
+    nb, n = kappas[0].shape[0], kappas[0].shape[1]
+    ndir = 12 * 4 ** (n_angular_level - 1)
+    weight = 1.0 / ndir
+    phi_all, theta_all = healpix.sweep_directions(n_angular_level)
+    if directions is None:
+        directions = range(ndir)
+
+    jms = [np.zeros_like(k) for k in kappas]
+
+    for iray in directions:
+        d = octants.fold_direction(phi_all[iray], theta_all[iray])
+        # per-level template chains: the same ray family sampled at each
+        # resolution (setRaysRefined child transform applied per level)
+        tms, start = [], (0.5, 0.5)
+        for ell in range(L):
+            tms.append(_build_chain(d.phi, d.theta, n * 2 ** ell, *start))
+            start = _child_start(*start)
+        k_rots = [np.moveaxis(octants.rotate_to_sweep(
+            np.moveaxis(k, 0, -1), d.izone), -1, 0) for k in kappas]
+        r_rots = [octants.rotate_to_sweep(np.asarray(r, bool), d.izone)
+                  for r in refined]
+        cover = [np.ones((n, n, n), bool)]
+        for r in r_rots:
+            cover.append(np.repeat(np.repeat(np.repeat(
+                r & cover[-1], 2, 0), 2, 1), 2, 2))
+
+        outs = [{s: np.zeros(k.shape[1:] + (nb,), k.dtype)
+                 for s in ("xy", "xz", "yz")} for k in k_rots]
+        jrots = [np.zeros(k.shape[1:] + (nb,), k.dtype) for k in k_rots]
+
+        def tag_sel(level, tmpl, idx, tag):
+            out = outs[level]
+            if tag == TAG_XY:
+                return out["xy"][idx]
+            if tag == TAG_XZ:
+                return out["xz"][idx]
+            if tag == TAG_YZ:
+                return out["yz"][idx]
+            side = out["xz"][idx] if tmpl.len_xz > 0 else (
+                out["yz"][idx] if tmpl.len_yz > 0 else out["xy"][idx])
+            return 0.5 * (out["xy"][idx] + side)
+
+        def upwind(level, idx, axis, fps):
+            """Face input for the segment of cell `idx` (level `level`)
+            entering through `axis` with face footpoint fractions `fps`
+            ((slab?,j?,k?) fractions as in the two-level oracle)."""
+            up = list(idx)
+            up[axis] -= 1
+            if up[axis] < 0:
+                return uvb.copy()
+            lvl, a = level, up
+            # ascend to the covering ancestor (findNeighbours walk up)
+            while not cover[lvl][tuple(a)]:
+                a = [u // 2 for u in a]
+                lvl -= 1
+            # descend into refined neighbors by the face footpoint (zoom*)
+            fa, fb = fps
+            while lvl < L - 1 and cover[lvl][tuple(a)] \
+                    and r_rots[lvl][tuple(a)]:
+                if lvl < level:
+                    # still above my level: the child containing MY
+                    # neighbor cell, by its binary address
+                    sh = level - lvl - 1
+                    bits = [(u >> sh) & 1 for u in up]
+                else:
+                    if axis == 0:      # xy face: (x0 -> k, y0 -> j), i = 1
+                        bits = [1, 1 if fb >= 0.5 else 0,
+                                1 if fa >= 0.5 else 0]
+                    elif axis == 1:    # xz face: (x0 -> k, z0 -> i), j = 1
+                        bits = [1 if fb >= 0.5 else 0, 1,
+                                1 if fa >= 0.5 else 0]
+                    else:              # yz face: (y0 -> j, z0 -> i), k = 1
+                        bits = [1 if fb >= 0.5 else 0,
+                                1 if fa >= 0.5 else 0, 1]
+                    fa = 2 * fa - (1.0 if fa >= 0.5 else 0.0)
+                    fb = 2 * fb - (1.0 if fb >= 0.5 else 0.0)
+                a = [2 * u + b for u, b in zip(a, bits)]
+                lvl += 1
+            t_up = tms[lvl][a[0]]
+            tag = (t_up.top_xy, t_up.top_xz, t_up.top_yz)[axis]
+            return tag_sel(lvl, t_up, tuple(a), tag)
+
+        def transport_cell(level, idx):
+            i = idx[0]
+            tmpl = tms[level][i]
+            kap = k_rots[level][(slice(None),) + idx]
+            csize = cell_size / 2 ** level
+            jacc = np.zeros(nb)
+            nact = 0
+            i_in = upwind(level, idx, 0, (tmpl.x0, tmpl.y0))
+            i_outv, lm = _segment(i_in, kap, tmpl.len_xy, csize)
+            outs[level]["xy"][idx] = i_outv
+            jacc += lm
+            nact += 1
+            if tmpl.len_xz > 0:
+                i_in = upwind(level, idx, 1, (tmpl.xz_x0, tmpl.xz_z0))
+                i_outv, lm = _segment(i_in, kap, tmpl.len_xz, csize)
+                outs[level]["xz"][idx] = i_outv
+                jacc += lm
+                nact += 1
+            if tmpl.len_yz > 0:
+                i_in = upwind(level, idx, 2, (tmpl.yz_y0, tmpl.yz_z0))
+                i_outv, lm = _segment(i_in, kap, tmpl.len_yz, csize)
+                outs[level]["yz"][idx] = i_outv
+                jacc += lm
+                nact += 1
+            jrots[level][idx] += jacc / nact * weight
+
+        def visit(level, idx):
+            if level < L - 1 and r_rots[level][idx]:
+                for di in range(2):
+                    for dj in range(2):
+                        for dk in range(2):
+                            visit(level + 1, (2 * idx[0] + di,
+                                              2 * idx[1] + dj,
+                                              2 * idx[2] + dk))
+            else:
+                transport_cell(level, idx)
+
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    visit(0, (i, j, k))
+
+        for ell in range(L):
+            jms[ell] += np.moveaxis(
+                octants.rotate_from_sweep(jrots[ell], d.izone), -1, 0)
+
+    return jms
+
+
 # ---------------------------------------------------------------------------
 # Point-source tracer oracle (startNewLongRay, equiSources.f90:3120-3385)
 # ---------------------------------------------------------------------------
