@@ -310,9 +310,11 @@ def main(argv=None):
               f"evolve_energy = {args.evolve_energy}")
     elif use_ml:
         if mesh is not None:
-            print("warning: >2-level grids run single-device; ignoring the "
-                  "device mesh (the two-level path is the sharded one)")
-        step = amodel.make_step(stellar_ctx)
+            if cfg.sweep_strategy not in ("", "auto"):
+                print("warning: explicit sweep strategies are uniform-grid "
+                      "only; the multilevel sweep partitions under GSPMD")
+            ml_state = pmesh.shard_multilevel_state(ml_state, mesh)
+        step = amodel.make_step(stellar_ctx, mesh=mesh)
     elif use_amr:
         if mesh is not None:
             if cfg.sweep_strategy not in ("", "auto"):

@@ -157,8 +157,11 @@ class MultiLevelModel:
     """L-level model wrapper around an RTModel's tables/config.
 
     Generalizes AMRModel to arbitrary nesting depth using the multilevel
-    sweep/tracer (core.sweep_multilevel, core.rays_multilevel).  Single
-    device for now; the two-level AMRModel remains the sharded fast path.
+    sweep/tracer (core.sweep_multilevel, core.rays_multilevel).  With a
+    device mesh the point-source phase runs source-parallel
+    (parallel.rays_dist.trace_point_sources_ml_dist) and the sweep +
+    chemistry tail partitions under GSPMD from the sharded state
+    (parallel.mesh.shard_multilevel_state).
     """
     rt: "object"                      # core.step.RTModel
     n_levels: int
@@ -179,7 +182,7 @@ class MultiLevelModel:
         return GridGeometry(m * g.nx, m * g.ny, m * g.nz,
                             g.physical_box_size)
 
-    def step(self, state: amr.MultiLevelState, stellar=None):
+    def step(self, state: amr.MultiLevelState, stellar=None, mesh=None):
         """One full iteration; returns (state, diag_or_None)."""
         cfg = self.rt.config
         state = amr.MultiLevelState(
@@ -187,17 +190,25 @@ class MultiLevelModel:
             refined=state.refined)
         diag = None
         if cfg.run_stellar_transfer and stellar is not None:
-            state, diag = self._traced(state, stellar)
+            state, diag = self._traced(state, stellar, mesh)
         return self._sweep_and_chemistry(state), diag
 
-    def _traced(self, state: amr.MultiLevelState, stellar):
-        from . import rays_multilevel
+    def _traced(self, state: amr.MultiLevelState, stellar, mesh=None):
         rt = self.rt
-        rfs, diag = rays_multilevel.trace_point_sources_ml(
-            state, rt.geom, stellar.sources, stellar.tables,
-            dust_approximation=stellar.dust_approximation,
-            max_pixel_level=stellar.max_pixel_level,
-            dtype=state.levels[0].rho.dtype)
+        if mesh is not None:
+            from ..parallel import rays_dist
+            rfs, diag = rays_dist.trace_point_sources_ml_dist(
+                state, rt.geom, stellar.sources, stellar.tables, mesh,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.levels[0].rho.dtype)
+        else:
+            from . import rays_multilevel
+            rfs, diag = rays_multilevel.trace_point_sources_ml(
+                state, rt.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.levels[0].rho.dtype)
         new_levels = []
         for ell, (lv, rf) in enumerate(zip(state.levels, rfs)):
             # quad_W carries 1/base-cell-volume: level-l cells have 8^-l
@@ -243,17 +254,19 @@ class MultiLevelModel:
         state = amr.MultiLevelState(levels=new_levels, refined=state.refined)
         return amr.sync_restriction_multi(state)
 
-    def make_step(self, stellar=None):
-        """Compiled L-level iteration (tracer keeps its own cache)."""
+    def make_step(self, stellar=None, mesh=None):
+        """Compiled L-level iteration (tracer keeps its own cache).  With
+        a mesh the tracer is source-parallel and the tail partitions under
+        GSPMD from the sharded state."""
         if stellar is None:
-            return jax.jit(lambda s: self.step(s)[0])
+            return jax.jit(lambda s: self.step(s, mesh=mesh)[0])
         rest = jax.jit(self._sweep_and_chemistry)
 
         def step(state):
             state = amr.MultiLevelState(
                 levels=tuple(lv.zero_rates() for lv in state.levels),
                 refined=state.refined)
-            s2, diag = self._traced(state, stellar)
+            s2, diag = self._traced(state, stellar, mesh)
             return rest(s2), diag
 
         return step

@@ -20,6 +20,7 @@ import dataclasses
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -134,6 +135,19 @@ def shard_amr_state(state, mesh: Mesh):
         base=shard_state(state.base, mesh),
         fine=shard_state(state.fine, mesh),
         refined=jax.device_put(state.refined, field_sharding(mesh)))
+
+
+def shard_multilevel_state(state, mesh: Mesh):
+    """Apply the grid sharding to a core.amr.MultiLevelState: every level's
+    fields on ((2^l n), ...) with the same last-axes decomposition (shards
+    own their cells' whole refinement subtree when the shard counts divide
+    n), refined bitmaps alongside their parent level."""
+    from ..core.amr import MultiLevelState
+    f3 = field_sharding(mesh)
+    return MultiLevelState(
+        levels=tuple(shard_state(lv, mesh) for lv in state.levels),
+        refined=tuple(jax.device_put(jnp.asarray(r), f3)
+                      for r in state.refined))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

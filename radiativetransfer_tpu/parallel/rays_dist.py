@@ -153,6 +153,105 @@ def _rate_fields_struct(rates_mode: str, n: int, dtype):
     return cls(*([0] * k))
 
 
+def trace_point_sources_ml_dist(ml_state, geom, sources: SourceBatch,
+                                tables, mesh: Mesh,
+                                dust_approximation: int = NO_DUST,
+                                max_pixel_level: int = MAX_PIXEL_LEVEL,
+                                dtype=jnp.float32,
+                                rates_mode: str = "auto"):
+    """Distributed analog of core.rays_multilevel.trace_point_sources_ml:
+    sources sharded over the mesh, all L levels' fields all-gathered per
+    shard (packed in-worker), per-level deposit RateFields reduce-scattered
+    back onto the grid decomposition (same protocol as the uniform/two-level
+    tracers above).
+
+    Returns (tuple of L RateFields, each flat deposits scattered to
+    (n_l, n_l, n_l) grid sharding, RayDiagnostics sharded over sources)."""
+    from ..core import rays_multilevel
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
+    from .mesh import _grid_spec
+    grid_entries = _grid_spec(mesh)
+    n_shards = int(np.prod(mesh.devices.shape))
+    L = ml_state.n_levels
+    n = geom.nx
+    nF = n * 2 ** (L - 1)
+
+    padded, n_real = pad_sources(sources, n_shards)
+    s_local = padded.n_sources // n_shards
+
+    init_state = rays_mod._spawn_phase(padded, 1, dtype)
+    init_state = dataclasses.replace(
+        init_state,
+        cell=jnp.clip((init_state.pos * nF).astype(jnp.int32), 0, nF - 1))
+
+    fields3 = {}
+    for ell, st in enumerate(ml_state.levels):
+        for name, v in (("HI", st.HI), ("HeI", st.HeI), ("HeII", st.HeII),
+                        ("nH", st.nh), ("abun2", st.abun2)):
+            fields3[f"{name}{ell}"] = v.astype(dtype)
+    for ell, r in enumerate(ml_state.refined):
+        fields3[f"ref{ell}"] = jnp.asarray(r, bool)
+    tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+
+    field_spec = P(*grid_entries)
+    src_axis = (mesh.axis_names[0] if len(mesh.axis_names) == 1
+                else tuple(mesh.axis_names))
+    ray_spec = jax.tree_util.tree_map(lambda _: P(src_axis), init_state)
+    sharded_dims = [(d, name) for d, name in enumerate(grid_entries)
+                    if name is not None]
+
+    def worker(fields3, init_state, tables_dev):
+        def gather(v):
+            for d, name in sharded_dims:
+                v = jax.lax.all_gather(v, name, axis=d, tiled=True)
+            return v
+
+        fg = {k: gather(v) for k, v in fields3.items()}
+        full = {"leaf_level": rays_multilevel.leaf_level_volume(
+            [fg[f"ref{ell}"] for ell in range(L - 1)], n, L)}
+        for ell in range(L):
+            full[f"lv{ell}"] = rays_mod._pack_fields(
+                fg[f"HI{ell}"].reshape(-1), fg[f"HeI{ell}"].reshape(-1),
+                fg[f"HeII{ell}"].reshape(-1), fg[f"nH{ell}"].reshape(-1),
+                fg[f"abun2{ell}"].reshape(-1))
+        rfs, diag = rays_multilevel._trace_all_phases_ml(
+            full, init_state, tables_dev, geom=geom, n_levels=L,
+            n_sources=s_local, dust_approximation=dust_approximation,
+            max_pixel_level=max_pixel_level, dtype=dtype,
+            rates_mode=rates_mode)
+
+        def scatter(x, m):
+            x = x.reshape(m, m, m)
+            for d, name in sharded_dims:
+                x = jax.lax.psum_scatter(x, name, scatter_dimension=d,
+                                         tiled=True)
+            return x
+
+        rfs = tuple(
+            jax.tree_util.tree_map(
+                lambda x, m=n * 2 ** ell: scatter(x, m), rf)
+            for ell, rf in enumerate(rfs))
+        return rfs, diag
+
+    rf_struct = _rate_fields_struct("table", n, dtype)
+    out_specs = (
+        tuple(jax.tree_util.tree_map(lambda _: field_spec, rf_struct)
+              for _ in range(L)),
+        jax.tree_util.tree_map(lambda _: P(src_axis),
+                               RayDiagnostics.zeros(1, dtype)),
+    )
+    mapped = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=({k: field_spec for k in fields3}, ray_spec,
+                  {k: P() for k in tables_dev}),
+        out_specs=out_specs, check_vma=False)
+    rfs, diag = jax.jit(mapped)(fields3, init_state, tables_dev)
+    if n_real != padded.n_sources:
+        diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
+    return rfs, diag
+
+
 def trace_point_sources_amr_dist(amr_state, geom, sources: SourceBatch,
                                  tables, mesh: Mesh,
                                  dust_approximation: int = NO_DUST,

@@ -373,3 +373,96 @@ class TestShardedAMR:
         np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
                                    np.asarray(diag_s.ndot_remaining),
                                    rtol=1e-12)
+
+
+@needs_devices
+class TestShardedMultiLevel:
+    """Sharded L-level AMR step: the multilevel sweep, source-parallel
+    tracer, and per-level chemistry on the 8-device mesh must match the
+    single-device MultiLevelModel."""
+
+    def _ml_setup(self, n=8, n_levels=3, with_sources=False):
+        from radiativetransfer_tpu.constants import MYR
+        from radiativetransfer_tpu.core import amr, rays, step_amr
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        cfg = RunConfig(mode=8 if with_sources else MODE_UVB_TRANSFER_ONLY,
+                        current_redshift=6.55, n_angular_level=1,
+                        reionization_model=10, grid="ml")
+        geom = GridGeometry(n, n, n, 300.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        ml = step_amr.MultiLevelModel.setup(rt, n_levels)
+        base = uniform_state(n, nh=2e-3, tgas=1e4, dtype=jnp.float64)
+        refined = [np.zeros((n, n, n), bool),
+                   np.zeros((2 * n,) * 3, bool)][:n_levels - 1]
+        refined[0][2:6, 3:7, 2:6] = True
+        if n_levels > 2:
+            refined[1][6:10, 7:11, 6:10] = True
+        refined = amr.enforce_balance(refined)
+        st = amr.make_multilevel_state(base, refined)
+        ctx = None
+        if with_sources:
+            rng = np.random.default_rng(7)
+            batch = rays.SourceBatch(
+                position=rng.uniform(0.2, 0.8, (5, 3)),
+                weight=rng.integers(1, 4, 5).astype(np.float64),
+                table_idx=np.zeros(5, np.int32))
+            ctx = step_mod.StellarContext.build(
+                stellar_tables.blackbody_population(), batch, geom,
+                10.0 * MYR, metal_coefs=[(0, 0.0)], max_pixel_level=3)
+        return ml, st, ctx
+
+    def test_sharded_ml_step_matches_single_device(self):
+        ml, st, _ = self._ml_setup()
+        out_s = ml.make_step()(st)
+        mesh = pmesh.make_grid_mesh(8)
+        st_sh = pmesh.shard_multilevel_state(st, mesh)
+        out_d = ml.make_step(mesh=mesh)(st_sh)
+        for ell in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out_d.levels[ell].HI),
+                np.asarray(out_s.levels[ell].HI), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out_d.levels[2].Jmean),
+                                   np.asarray(out_s.levels[2].Jmean),
+                                   rtol=1e-12)
+        assert len(out_d.levels[0].HI.sharding.device_set) == 8
+
+    def test_distributed_ml_tracer_matches_single_device(self):
+        from radiativetransfer_tpu.core import rays_multilevel
+        from radiativetransfer_tpu.parallel import rays_dist
+        ml, st, ctx = self._ml_setup(with_sources=True)
+        geom = ml.rt.geom
+        rfs_s, diag_s = rays_multilevel.trace_point_sources_ml(
+            st, geom, ctx.sources, ctx.tables, max_pixel_level=3,
+            dtype=jnp.float64)
+        mesh = pmesh.make_grid_mesh(8)
+        st_sh = pmesh.shard_multilevel_state(st, mesh)
+        rfs_d, diag_d = rays_dist.trace_point_sources_ml_dist(
+            st_sh, geom, ctx.sources, ctx.tables, mesh,
+            max_pixel_level=3, dtype=jnp.float64)
+        for ell, (rf_d, rf_s) in enumerate(zip(rfs_d, rfs_s)):
+            m = geom.nx * 2 ** ell
+            np.testing.assert_allclose(
+                np.asarray(rf_d.krate24),
+                np.asarray(rf_s.krate24).reshape(m, m, m),
+                rtol=1e-12, atol=1e-300)
+        for f in ("ndot_remaining", "ndot_boundary", "ndot_spectrum"):
+            np.testing.assert_allclose(np.asarray(getattr(diag_d, f)),
+                                       np.asarray(getattr(diag_s, f)),
+                                       rtol=1e-12)
+        assert len(rfs_d[0].krate24.sharding.device_set) == 8
+
+    def test_full_ml_stellar_step_sharded(self):
+        """mode-8 (stellar + UVB) L=3 step through make_step(stellar, mesh)
+        on a sharded MultiLevelState."""
+        ml, st, ctx = self._ml_setup(with_sources=True)
+        out_s, diag_s = ml.make_step(ctx)(st)
+        mesh = pmesh.make_grid_mesh(8)
+        st_sh = pmesh.shard_multilevel_state(st, mesh)
+        out_d, diag_d = ml.make_step(ctx, mesh=mesh)(st_sh)
+        for ell in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out_d.levels[ell].HI),
+                np.asarray(out_s.levels[ell].HI), rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_s.ndot_remaining),
+                                   rtol=1e-12)
