@@ -35,6 +35,14 @@ from ..core import rays as rays_mod
 from ..core.rays import RayDiagnostics, SourceBatch
 
 
+# jitted shard_map tracers, keyed on every static the worker closures
+# capture (tracer kind, geom, mesh, padded source count, dust mode, pixel
+# depth, dtype, rates mode, band count, AMR depth).  Without this the
+# production step would re-trace + recompile the distributed tracer every
+# iteration (the single-device tracers cache via _TRACER_CACHE).
+_DIST_TRACER_CACHE: dict = {}
+
+
 def pad_sources(sources: SourceBatch, n_shards: int) -> tuple[SourceBatch, int]:
     """Pad the source batch to a multiple of n_shards with zero-weight
     dummies (they trace but deposit w=0)."""
@@ -126,21 +134,27 @@ def trace_point_sources_dist(state_fields, geom, sources: SourceBatch,
         rf = jax.tree_util.tree_map(scatter, rf)
         return rf, diag
 
-    out_specs = (
-        jax.tree_util.tree_map(lambda _: field_spec,
-                               _rate_fields_struct(rates_mode, n, dtype)),
-        jax.tree_util.tree_map(lambda _: P(src_axis),
-                               RayDiagnostics.zeros(1, dtype)),
-    )
-    # check_vma off: the tracer's zero-initialized loop carries are
-    # replicated values that become device-varying inside the while_loop,
-    # which the static varying-axis checker rejects
-    mapped = jax.shard_map(
-        worker, mesh=mesh,
-        in_specs=({k: field_spec for k in fields}, ray_spec,
-                  {k: P() for k in tables_dev}),
-        out_specs=out_specs, check_vma=False)
-    rf, diag = jax.jit(mapped)(fields, init_state, tables_dev)
+    key = ("uniform", geom, mesh, padded.n_sources, dust_approximation,
+           max_pixel_level, jnp.dtype(dtype).name, rates_mode, n_bands,
+           frozenset(tables_dev))
+    fn = _DIST_TRACER_CACHE.get(key)
+    if fn is None:
+        out_specs = (
+            jax.tree_util.tree_map(lambda _: field_spec,
+                                   _rate_fields_struct(rates_mode, n, dtype)),
+            jax.tree_util.tree_map(lambda _: P(src_axis),
+                                   RayDiagnostics.zeros(1, dtype)),
+        )
+        # check_vma off: the tracer's zero-initialized loop carries are
+        # replicated values that become device-varying inside the while_loop,
+        # which the static varying-axis checker rejects
+        mapped = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=({k: field_spec for k in fields}, ray_spec,
+                      {k: P() for k in tables_dev}),
+            out_specs=out_specs, check_vma=False)
+        fn = _DIST_TRACER_CACHE[key] = jax.jit(mapped)
+    rf, diag = fn(fields, init_state, tables_dev)
     if n_real != padded.n_sources:
         diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
     return rf, diag
@@ -234,19 +248,25 @@ def trace_point_sources_ml_dist(ml_state, geom, sources: SourceBatch,
             for ell, rf in enumerate(rfs))
         return rfs, diag
 
-    rf_struct = _rate_fields_struct("table", n, dtype)
-    out_specs = (
-        tuple(jax.tree_util.tree_map(lambda _: field_spec, rf_struct)
-              for _ in range(L)),
-        jax.tree_util.tree_map(lambda _: P(src_axis),
-                               RayDiagnostics.zeros(1, dtype)),
-    )
-    mapped = jax.shard_map(
-        worker, mesh=mesh,
-        in_specs=({k: field_spec for k in fields3}, ray_spec,
-                  {k: P() for k in tables_dev}),
-        out_specs=out_specs, check_vma=False)
-    rfs, diag = jax.jit(mapped)(fields3, init_state, tables_dev)
+    key = ("ml", geom, mesh, L, padded.n_sources, dust_approximation,
+           max_pixel_level, jnp.dtype(dtype).name, rates_mode,
+           frozenset(tables_dev))
+    fn = _DIST_TRACER_CACHE.get(key)
+    if fn is None:
+        rf_struct = _rate_fields_struct("table", n, dtype)
+        out_specs = (
+            tuple(jax.tree_util.tree_map(lambda _: field_spec, rf_struct)
+                  for _ in range(L)),
+            jax.tree_util.tree_map(lambda _: P(src_axis),
+                                   RayDiagnostics.zeros(1, dtype)),
+        )
+        mapped = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=({k: field_spec for k in fields3}, ray_spec,
+                      {k: P() for k in tables_dev}),
+            out_specs=out_specs, check_vma=False)
+        fn = _DIST_TRACER_CACHE[key] = jax.jit(mapped)
+    rfs, diag = fn(fields3, init_state, tables_dev)
     if n_real != padded.n_sources:
         diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
     return rfs, diag
@@ -324,19 +344,25 @@ def trace_point_sources_amr_dist(amr_state, geom, sources: SourceBatch,
         rff = jax.tree_util.tree_map(lambda x: scatter(x, n2), rff)
         return rfb, rff, diag
 
-    rf_struct = _rate_fields_struct("table", n, dtype)
-    out_specs = (
-        jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
-        jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
-        jax.tree_util.tree_map(lambda _: P(src_axis),
-                               RayDiagnostics.zeros(1, dtype)),
-    )
-    mapped = jax.shard_map(
-        worker, mesh=mesh,
-        in_specs=({k: field_spec for k in fields3}, ray_spec,
-                  {k: P() for k in tables_dev}),
-        out_specs=out_specs, check_vma=False)
-    rfb, rff, diag = jax.jit(mapped)(fields3, init_state, tables_dev)
+    key = ("amr", geom, mesh, padded.n_sources, dust_approximation,
+           max_pixel_level, jnp.dtype(dtype).name, rates_mode,
+           frozenset(tables_dev))
+    fn = _DIST_TRACER_CACHE.get(key)
+    if fn is None:
+        rf_struct = _rate_fields_struct("table", n, dtype)
+        out_specs = (
+            jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
+            jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
+            jax.tree_util.tree_map(lambda _: P(src_axis),
+                                   RayDiagnostics.zeros(1, dtype)),
+        )
+        mapped = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=({k: field_spec for k in fields3}, ray_spec,
+                      {k: P() for k in tables_dev}),
+            out_specs=out_specs, check_vma=False)
+        fn = _DIST_TRACER_CACHE[key] = jax.jit(mapped)
+    rfb, rff, diag = fn(fields3, init_state, tables_dev)
     if n_real != padded.n_sources:
         diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
     return rfb, rff, diag
