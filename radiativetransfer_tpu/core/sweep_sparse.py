@@ -1,0 +1,295 @@
+"""Block-sparse L-level diffuse sweep.
+
+Same transport math as core.sweep_multilevel (the shared
+_slab_gauss_seidel), but refined-level VOLUMES never materialize: per base
+slab the scan body GATHERS each level's dense cross-section planes from
+block storage (slot-map lookup + flat gather) and SCATTERS the slab's
+leaf-masked Jmean back into per-level block accumulators carried through
+the scan.  Memory is therefore
+
+  O(n^3)  base level  +  O(leaves) blocks  +  O(finest cross-section) planes
+
+instead of O((n 2^L)^3) dense volumes — the property that lets a production
+128^3 + depth-4 grid fit one chip's HBM, matching the reference octree's
+memory-per-leaf scaling (/root/reference/definitionsModule.f90:163-180).
+Compute per slab stays dense over each level's cross-section (TPU-friendly
+full planes; wasted lanes where a level has no coverage are masked), and
+slabs with no refined coverage skip the fine-level transport entirely via
+lax.cond on a per-slab coverage bit.
+
+Parity with the dense multilevel sweep is exact on covered cells: gathered
+planes equal the dense planes wherever cover is set, and everything the
+transport reads through uncovered positions is already mask-selected by
+_slab_gauss_seidel (the same invariant the dense path relies on; absent
+tiles gather the all-zero padding block, so no NaNs propagate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import octants
+from .amr_sparse import SparseMLState
+from .sweep_amr import _prolong_plane
+from .sweep_multilevel import MLSweepPlan, _slab_gauss_seidel
+
+
+def _plane_indices(slot_rot, X, be: int, nb: int):
+    """Flat block-data indices of the level cross-section at slab X.
+
+    slot_rot: (T,T,T) int32 rotated tile->slot; X traced int32 in
+    [0, T*be).  Returns idx (n_l, n_l) into (nb*be^3,) flat block data;
+    absent tiles route to the padding block (slot nb-1, all zeros)."""
+    tx = X // be
+    ox = X % be
+    sp = jax.lax.dynamic_index_in_dim(slot_rot, tx, 0, keepdims=False)
+    sp = jnp.where(sp < 0, nb - 1, sp)                      # (T, T)
+    o = jnp.arange(be)
+    idx = (sp[:, None, :, None] * (be ** 3) + ox * (be ** 2)
+           + o[None, :, None, None] * be + o[None, None, None, :])
+    n_l = sp.shape[0] * be
+    return idx.reshape(n_l, n_l)
+
+
+def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
+                      weight, n_coupling_iters: int = 4):
+    """Sweep one zone over a block-sparse L-level grid.
+
+    k0_rot: (n, 3, n, n) rotated base opacity; refined0_rot: (n, n, n);
+    lv_rots[l-1] (levels 1..L-1): dict with
+      kappa (3, nb, be, be, be), cover/refined (nb, be, be, be) — all
+      block data rotated within-block (octants.rotate_blocks_to_sweep) —
+      and slot (T, T, T) rotated tile map;
+    params[l]: (D, n*2^l) template-chain arrays.
+    Returns (j0_rot (n, 3, n, n), [flat (3, nb*be^3) J per refined level],
+    all in the rotated frame / rotated block layout).
+    """
+    L = 1 + len(lv_rots)
+    n = k0_rot.shape[0]
+    ny = nz = n
+    dtype = k0_rot.dtype
+    D = params[0]["len_xy"].shape[0]
+    uvb = jnp.asarray(uvb, dtype)
+
+    def bcast(shape):
+        return jnp.broadcast_to(uvb[None, :, None, None], shape).astype(dtype)
+
+    uvb_cell = [bcast((D, 3, ny * 2 ** l, nz * 2 ** l)) for l in range(L)]
+    uvb_j = [bcast((D, 3, 1, nz * 2 ** l)) for l in range(L)]
+    uvb_k = [bcast((D, 3, ny * 2 ** l, 1)) for l in range(L)]
+
+    nbs = [lv["cover"].shape[0] for lv in lv_rots]
+    bes = [lv["cover"].shape[-1] for lv in lv_rots]
+    flat_k = [lv["kappa"].reshape(3, -1) for lv in lv_rots]
+    flat_cov = [lv["cover"].reshape(-1) for lv in lv_rots]
+    flat_ref = [lv["refined"].reshape(-1) for lv in lv_rots]
+
+    # per-slab "needs fine transport" bit: a slab touches refined levels if
+    # it has refined cells itself OR the previous slab does (its carry fine
+    # tops feed this slab's level-0 xy inputs through refined-below)
+    any_ref = jnp.any(refined0_rot, axis=(1, 2))            # (n,)
+    cov_x = any_ref | jnp.concatenate([any_ref[:1] & False, any_ref[:-1]])
+
+    xs = {"i": jnp.arange(n), "k0": k0_rot[:, None],
+          "r0": refined0_rot[:, None], "has_fine": cov_x}
+    for l in range(L):
+        m = 2 ** l
+        for key, v in params[l].items():
+            xs[f"p{l}_{key}"] = jnp.asarray(v).reshape(D, n, m).swapaxes(0, 1)
+
+    def gather_levels(i):
+        """Materialize per-level plane stacks for base slab i."""
+        out = []
+        for ell in range(1, L):
+            m = 2 ** ell
+            kap, cov, ref = [], [], []
+            for s in range(m):
+                idx = _plane_indices(lv_rots[ell - 1]["slot"], i * m + s,
+                                     bes[ell - 1], nbs[ell - 1])
+                kap.append(flat_k[ell - 1][:, idx])
+                cov.append(flat_cov[ell - 1][idx])
+                ref.append(flat_ref[ell - 1][idx])
+            out.append({"kappa": jnp.stack(kap), "cover": jnp.stack(cov),
+                        "refined": jnp.stack(ref)})
+        return out
+
+    def body(carry, x):
+        planes_carry, j_flats = carry
+        i = x["i"]
+
+        def params_of(l):
+            return {key[len(f"p{l}_"):]: x[key] for key in x
+                    if key.startswith(f"p{l}_")}
+
+        x0 = dict({"kappa": x["k0"],
+                   "cover": jnp.ones((1, ny, nz), bool),
+                   "refined": x["r0"]}, **params_of(0))
+
+        def j_of(est_ls, cov_ls, ref_ls):
+            leaf = cov_ls & ~ref_ls
+            return weight * jnp.sum(
+                jnp.where(leaf[None, None], est_ls["j_slab"], 0.0), axis=0)
+
+        def full(_):
+            fine = gather_levels(i)
+            xl = [x0]
+            for ell in range(1, L):
+                entry = dict(fine[ell - 1])
+                if ell == L - 1:
+                    entry["refined"] = jnp.zeros_like(entry["cover"])
+                entry.update(params_of(ell))
+                xl.append(entry)
+
+            est, cov, ref = _slab_gauss_seidel(
+                planes_carry, xl, L, ny, nz, D, uvb_j, uvb_k, cell_size,
+                n_coupling_iters, dtype)
+
+            j0 = j_of(est[0][0], cov[0][0], ref[0][0])
+
+            # refined-level J: scatter into the flat block accumulators
+            new_flats = []
+            for ell in range(1, L):
+                m = 2 ** ell
+                jf = j_flats[ell - 1]
+                for s in range(m):
+                    js = j_of(est[ell][s], cov[ell][s], ref[ell][s])
+                    idx = _plane_indices(lv_rots[ell - 1]["slot"],
+                                         i * m + s, bes[ell - 1],
+                                         nbs[ell - 1])
+                    jf = jf.at[:, idx].add(js)
+                new_flats.append(jf)
+
+            carry_next = []
+            for l in range(L):
+                last = 2 ** l - 1
+                carry_next.append((est[l][last]["top"], cov[l][last],
+                                   ref[l][last]))
+            return tuple(carry_next), tuple(new_flats), j0
+
+        def skip(_):
+            # no refined coverage anywhere in this slab: level-0 transport
+            # only (one pass — level 0 has no coupling partners).  The
+            # fabricated fine carries are never selected downstream because
+            # their cover-below planes are all False (the same mask the
+            # dense path relies on); J accumulators pass through untouched.
+            est, cov, ref = _slab_gauss_seidel(
+                planes_carry[:1], [x0], 1, ny, nz, D, uvb_j[:1], uvb_k[:1],
+                cell_size, 1, dtype)
+            j0 = j_of(est[0][0], cov[0][0], ref[0][0])
+            carry_next = [(est[0][0]["top"], cov[0][0], ref[0][0])]
+            t = est[0][0]["top"]
+            for l in range(1, L):
+                t = _prolong_plane(t)
+                nyl, nzl = ny * 2 ** l, nz * 2 ** l
+                carry_next.append((t, jnp.zeros((nyl, nzl), bool),
+                                   jnp.zeros((nyl, nzl), bool)))
+            return tuple(carry_next), j_flats, j0
+
+        if L == 1:
+            carry_next, new_flats, j0 = skip(None)
+        else:
+            carry_next, new_flats, j0 = jax.lax.cond(
+                x["has_fine"], full, skip, None)
+        return (carry_next, new_flats), j0
+
+    carry0_planes = tuple(
+        (uvb_cell[l],
+         jnp.ones((ny * 2 ** l, nz * 2 ** l), bool),
+         jnp.zeros((ny * 2 ** l, nz * 2 ** l), bool))
+        for l in range(L))
+    j_flats0 = tuple(jnp.zeros((3, nbs[l] * bes[l] ** 3), dtype)
+                     for l in range(L - 1))
+    (_, j_flats), j0 = jax.lax.scan(body, (carry0_planes, j_flats0), xs)
+    return j0, list(j_flats)
+
+
+def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
+                         plan: MLSweepPlan, uvb, cell_size,
+                         n_coupling_iters: int = 4):
+    """Full block-sparse L-level sweep.
+
+    k0: (3, n, n, n) base opacity; lv_kappas[l-1]: (3, nb, be, be, be)
+    block opacity for level l.  Returns (J0 (3, n, n, n),
+    [J blocks (3, nb, be, be, be) per refined level]) — leaf cells only;
+    propagate with amr_sparse.sync_restriction_sparse.
+
+    Zone batching mirrors the dense path: equal-direction-count zones run
+    through one lax.scan whose body rotates via lax.switch over the 24
+    octant transforms (slot volumes with rotate_to_sweep, block data with
+    rotate_blocks_to_sweep).
+    """
+    L = state.n_levels
+    n = state.n
+    k0_l = jnp.moveaxis(k0, 0, -1)                          # (n,n,n,3)
+    refined0 = jnp.asarray(state.refined0, bool)
+
+    lv_data = []
+    for ell in range(1, L):
+        lv = state.levels[ell - 1]
+        lv_data.append({
+            "kappa": lv_kappas[ell - 1],
+            "cover": lv.cover,
+            "refined": (lv.refined if ell < L - 1
+                        else jnp.zeros_like(lv.cover)),
+            "slot": lv.slot,
+        })
+
+    j0_acc = jnp.zeros_like(k0_l)
+    jb_acc = [jnp.zeros_like(k) for k in lv_kappas]
+
+    groups: dict[int, list] = {}
+    for zone in plan.zones:
+        groups.setdefault(zone.ndir, []).append(zone)
+
+    def rot_in(iz):
+        def f(_):
+            k0r = jnp.moveaxis(octants.rotate_to_sweep(k0_l, iz), -1, 1)
+            r0r = octants.rotate_to_sweep(refined0, iz)
+            lvr = tuple(
+                {"kappa": octants.rotate_blocks_to_sweep(d["kappa"], iz),
+                 "cover": octants.rotate_blocks_to_sweep(d["cover"], iz),
+                 "refined": octants.rotate_blocks_to_sweep(d["refined"], iz),
+                 "slot": octants.rotate_to_sweep(d["slot"], iz)}
+                for d in lv_data)
+            return k0r, r0r, lvr
+        return f
+
+    def rot_out(iz):
+        def f(js):
+            j0, jbs = js
+            j0u = octants.rotate_from_sweep(jnp.moveaxis(j0, 1, -1), iz)
+            jbu = tuple(octants.rotate_blocks_from_sweep(j, iz) for j in jbs)
+            return j0u, jbu
+        return f
+
+    in_branches = [rot_in(iz) for iz in range(1, 25)]
+    out_branches = [rot_out(iz) for iz in range(1, 25)]
+
+    for zones in groups.values():
+        izones = jnp.asarray([z.izone - 1 for z in zones], jnp.int32)
+        stacked = tuple(
+            {key: jnp.asarray(np.stack([z.params[l][key] for z in zones]))
+             for key in zones[0].params[l]}
+            for l in range(L))
+
+        def body(carry, x):
+            iz, pars = x
+            k0r, r0r, lvr = jax.lax.switch(iz, in_branches, None)
+            j0r, jfl = sweep_zone_sparse(
+                k0r, r0r, list(lvr), pars, uvb, cell_size, plan.weight,
+                n_coupling_iters)
+            jbs = tuple(
+                jf.reshape((3,) + lv_data[e]["cover"].shape)
+                for e, jf in enumerate(jfl))
+            j0u, jbu = jax.lax.switch(iz, out_branches, (j0r, jbs))
+            j0_a, jb_a = carry
+            return (j0_a + j0u,
+                    tuple(a + b for a, b in zip(jb_a, jbu))), None
+
+        (j0_acc, jb_acc), _ = jax.lax.scan(
+            body, (j0_acc, tuple(jb_acc)), (izones, stacked))
+        jb_acc = list(jb_acc)
+
+    return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)

@@ -112,6 +112,41 @@ def rotate_from_sweep(field, izone: int):
     return field
 
 
+def rotate_blocks_to_sweep(x, izone: int):
+    """rotate_to_sweep applied to the LAST three axes (per-block data).
+
+    For block-sparse levels whose block edge divides the grid edge, rotating
+    the dense volume factors exactly into (a) rotate_to_sweep of the
+    tile->slot volume and (b) this within-block transform of the block data
+    — the flips reverse both the tile index and the in-block offset, and the
+    transpose permutes both jointly.
+    """
+    import jax.numpy as jnp
+    xp = jnp if not isinstance(x, np.ndarray) else np
+    q, flips = _ZONE_TABLE[izone]
+    off = x.ndim - 3
+    for a in flips:
+        x = xp.flip(x, axis=off + a)
+    inv = [0, 0, 0]
+    for a in range(3):
+        inv[q[a]] = a
+    axes = tuple(range(off)) + tuple(off + i for i in inv)
+    return xp.transpose(x, axes)
+
+
+def rotate_blocks_from_sweep(x, izone: int):
+    """Inverse of rotate_blocks_to_sweep (last three axes)."""
+    import jax.numpy as jnp
+    xp = jnp if not isinstance(x, np.ndarray) else np
+    q, flips = _ZONE_TABLE[izone]
+    off = x.ndim - 3
+    axes = tuple(range(off)) + tuple(off + a for a in q)
+    x = xp.transpose(x, axes)
+    for a in flips:
+        x = xp.flip(x, axis=off + a)
+    return x
+
+
 @dataclasses.dataclass(frozen=True)
 class FoldedDirection:
     """A sweep direction folded into the canonical octant."""
