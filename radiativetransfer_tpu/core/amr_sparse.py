@@ -244,6 +244,145 @@ def dense_from_sparse(sp: SparseMLState) -> MultiLevelState:
     return MultiLevelState(levels=tuple(levels), refined=tuple(refined))
 
 
+def make_sparse_state(base: FieldState, refined, be: int = 8
+                      ) -> SparseMLState:
+    """Build a block-sparse L-level state WITHOUT densifying field data.
+
+    base: dense (n,n,n) FieldState; refined: list of L-1 dense bool maps
+    (properly nested + face-balanced; bool volumes stay affordable up to
+    depth 4-5 where dense float fields would not).  Refined-level fields
+    prolong-fill from the parent level block by block, mirroring the
+    reference's refine-time parent copy (equiSources.f90:1892-1896), so a
+    production 128^3 + 3-level grid builds directly at O(leaves) memory.
+    """
+    n = base.rho.shape[0]
+    L = 1 + len(refined)
+    refined = [np.asarray(r, bool) for r in refined]
+    levels = []
+    parent_cover = np.ones((n, n, n), bool)
+    parent_level = None                     # None -> dense base
+    for ell in range(1, L):
+        n_l = n * 2 ** ell
+        assert n_l % be == 0
+        T = n_l // be
+        hp = be // 2                        # parent cells per tile side
+        pr = refined[ell - 1] & parent_cover
+        tile_any = pr.reshape(T, hp, T, hp, T, hp).any(axis=(1, 3, 5))
+        tiles = np.argwhere(tile_any)
+        nb = len(tiles) + 1
+        slot = np.full((T, T, T), -1, np.int32)
+        slot[tiles[:, 0], tiles[:, 1], tiles[:, 2]] = np.arange(
+            len(tiles), dtype=np.int32)
+        origin = np.concatenate([tiles * be, [[n_l, n_l, n_l]]]).astype(
+            np.int32)
+
+        # per-block parent coordinates (nb_real, be, be, be, 3)
+        off = np.arange(be)
+        pc = ((tiles[:, None, None, None, :] * be
+               + np.stack(np.meshgrid(off, off, off, indexing="ij"),
+                          axis=-1)[None]) // 2)
+        px, py, pz = pc[..., 0], pc[..., 1], pc[..., 2]
+
+        cover_blocks = np.concatenate(
+            [pr[px, py, pz], np.zeros((1, be, be, be), bool)], axis=0)
+        if ell < L - 1:
+            cc = tiles[:, None, None, None, :] * be + np.stack(
+                np.meshgrid(off, off, off, indexing="ij"), axis=-1)[None]
+            ref_blocks = np.concatenate(
+                [refined[ell][cc[..., 0], cc[..., 1], cc[..., 2]]
+                 & cover_blocks[:-1],
+                 np.zeros((1, be, be, be), bool)], axis=0)
+        else:
+            ref_blocks = np.zeros((nb, be, be, be), bool)
+
+        if parent_level is None:
+            def parent_gather(x):
+                x = np.asarray(x)
+                if x.ndim == 3:
+                    return x[px, py, pz]
+                return np.stack([x[i][px, py, pz]
+                                 for i in range(x.shape[0])])
+        else:
+            pbe = parent_level.be
+            pslot = np.asarray(parent_level.slot)
+            pt = pslot[px // pbe, py // pbe, pz // pbe]
+            pt = np.where(pt < 0, parent_level.n_blocks - 1, pt)
+            pidx = (pt * pbe ** 3 + ((px % pbe) * pbe + py % pbe) * pbe
+                    + pz % pbe)
+
+            def parent_gather(x, pidx=pidx):
+                x = np.asarray(x)
+                if x.ndim == 4:
+                    return x.reshape(-1)[pidx]
+                return np.stack([x[i].reshape(-1)[pidx]
+                                 for i in range(x.shape[0])])
+
+        src = base if parent_level is None else parent_level.fields
+        fields = {}
+        for name in _FIELD_NAMES:
+            g = parent_gather(getattr(src, name))
+            pad_shape = ((1, be, be, be) if g.ndim == 4
+                         else (g.shape[0], 1, be, be, be))
+            pad = np.zeros(pad_shape, g.dtype)
+            fields[name] = jnp.asarray(
+                np.concatenate([g, pad], axis=g.ndim - 4))
+        lv = SparseLevel(fields=FieldState(**fields),
+                         slot=jnp.asarray(slot),
+                         origin=jnp.asarray(origin),
+                         cover=jnp.asarray(cover_blocks),
+                         refined=jnp.asarray(ref_blocks))
+        levels.append(lv)
+        parent_level = lv
+        if ell < L - 1:     # the finest cover volume is never needed
+            parent_cover = np.repeat(np.repeat(np.repeat(pr, 2, 0), 2, 1),
+                                     2, 2)
+    return SparseMLState(base=base,
+                         refined0=jnp.asarray(refined[0], bool)
+                         if refined else jnp.zeros((n, n, n), bool),
+                         levels=tuple(levels))
+
+
+def blockify_like(lv: SparseLevel, x):
+    """Host-side: dense level array (..., n_l, n_l, n_l) -> blocks
+    (..., nb, be, be, be) matching lv's slot layout (padding block zero)."""
+    be = lv.be
+    x = np.asarray(x)
+    n_l = x.shape[-1]
+    T = n_l // be
+    slot = np.asarray(lv.slot)
+    tiles = np.argwhere(slot >= 0)
+
+    def block3(x3):
+        t = x3.reshape(T, be, T, be, T, be).transpose(0, 2, 4, 1, 3, 5)
+        picked = t[tiles[:, 0], tiles[:, 1], tiles[:, 2]]
+        return np.concatenate([picked, np.zeros((1, be, be, be),
+                                                x3.dtype)], 0)
+
+    if x.ndim == 3:
+        return jnp.asarray(block3(x))
+    return jnp.asarray(np.stack([block3(x[i]) for i in range(x.shape[0])]))
+
+
+def unblockify_like(lv: SparseLevel, blocks, fill=0.0):
+    """Host-side inverse of blockify_like; absent tiles take `fill`."""
+    be = lv.be
+    blocks = np.asarray(blocks)
+    slot = np.asarray(lv.slot)
+    T = slot.shape[0]
+    n_l = T * be
+    tiles = np.argwhere(slot >= 0)
+    slots = slot[tiles[:, 0], tiles[:, 1], tiles[:, 2]]
+
+    def un3(b3):
+        t = np.full((T, T, T, be, be, be), fill, b3.dtype)
+        t[tiles[:, 0], tiles[:, 1], tiles[:, 2]] = b3[slots]
+        return t.transpose(0, 3, 1, 4, 2, 5).reshape(n_l, n_l, n_l)
+
+    if blocks.ndim == 4:
+        return un3(blocks)
+    return np.stack([un3(blocks[i]) for i in range(blocks.shape[0])])
+
+
 def _restrict_blocks(x):
     """(..., nb, be, be, be) -> (..., nb, be/2, be/2, be/2) child average."""
     lead = x.shape[:-3]

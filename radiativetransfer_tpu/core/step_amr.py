@@ -278,3 +278,144 @@ class MultiLevelModel:
         nh = sum(float(jnp.sum(jnp.where(m, lv.nh, 0.0))) * 8.0 ** -ell
                  for ell, (lv, m) in enumerate(zip(state.levels, leafs)))
         return hi / nh
+
+
+@dataclasses.dataclass
+class SparseMLModel:
+    """L-level model on block-sparse storage (core.amr_sparse).
+
+    Same iteration as MultiLevelModel — zero rates -> sparse tracer ->
+    opacities + block-sparse sweep -> per-level chemistry -> restriction
+    sync — but refined-level memory is proportional to leaves, so deep
+    production grids (128^3 base + 3 refined levels) fit one chip's HBM,
+    matching the reference octree's per-leaf memory
+    (/root/reference/definitionsModule.f90:163-180).  Parity with
+    MultiLevelModel on toy grids is exact (tests/test_amr_sparse.py).
+    """
+    rt: "object"
+    n_levels: int
+    plan: "object"
+
+    @classmethod
+    def setup(cls, rt_model, n_levels: int) -> "SparseMLModel":
+        from . import sweep_multilevel
+        plan = None
+        if rt_model.config.run_uvb_transfer:
+            plan = sweep_multilevel.build_ml_sweep_plan(
+                rt_model.config.n_angular_level, rt_model.geom.nx, n_levels)
+        return cls(rt=rt_model, n_levels=n_levels, plan=plan)
+
+    def level_geom(self, ell: int) -> GridGeometry:
+        g = self.rt.geom
+        m = 2 ** ell
+        return GridGeometry(m * g.nx, m * g.ny, m * g.nz,
+                            g.physical_box_size)
+
+    def step(self, state, stellar=None):
+        from . import amr_sparse
+        cfg = self.rt.config
+        state = dataclasses.replace(
+            state, base=state.base.zero_rates(),
+            levels=tuple(dataclasses.replace(lv, fields=lv.fields.zero_rates())
+                         for lv in state.levels))
+        diag = None
+        if cfg.run_stellar_transfer and stellar is not None:
+            state, diag = self._traced(state, stellar)
+        return self._sweep_and_chemistry(state), diag
+
+    def _traced(self, state, stellar):
+        from . import rays_multilevel
+        rt = self.rt
+        rfs, diag = rays_multilevel.trace_point_sources_sparse(
+            state, rt.geom, stellar.sources, stellar.tables,
+            dust_approximation=stellar.dust_approximation,
+            max_pixel_level=stellar.max_pixel_level,
+            dtype=state.base.rho.dtype)
+        names = ("krate24", "krate25", "krate26",
+                 "crate24", "crate25", "crate26")
+        base = dataclasses.replace(state.base, **{
+            nm: getattr(rfs[0], nm).reshape(state.base.shape)
+            for nm in names})
+        levels = []
+        for ell in range(1, self.n_levels):
+            lv = state.levels[ell - 1]
+            s = 8.0 ** ell        # per-leaf volume scaling (cf. MultiLevelModel)
+            shp = lv.cover.shape
+            levels.append(dataclasses.replace(lv, fields=dataclasses.replace(
+                lv.fields, **{nm: getattr(rfs[ell], nm).reshape(shp) * s
+                              for nm in names})))
+        return dataclasses.replace(state, base=base,
+                                   levels=tuple(levels)), diag
+
+    def _sweep_and_chemistry(self, state):
+        from . import amr_sparse, sweep_sparse
+        rt = self.rt
+        cfg = rt.config
+        if cfg.run_uvb_transfer:
+            k0 = opacity.compute_opacities(state.base.HI, state.base.HeI,
+                                           state.base.HeII, rt.opacity_coef)
+            lv_k = [opacity.compute_opacities(
+                lv.fields.HI, lv.fields.HeI, lv.fields.HeII, rt.opacity_coef)
+                for lv in state.levels]
+            j0, jbs = sweep_sparse.diffuse_sweep_sparse(
+                k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
+                rt.geom.cell_size)
+            state = dataclasses.replace(
+                state,
+                base=dataclasses.replace(state.base, Jmean=j0),
+                levels=tuple(
+                    dataclasses.replace(lv, fields=dataclasses.replace(
+                        lv.fields, Jmean=j))
+                    for lv, j in zip(state.levels, jbs)))
+
+        kwargs = dict(
+            ksi_matrix=rt.ksi_matrix, gamma_thin=rt.gamma_thin,
+            self_shielding_threshold=cfg.self_shielding_threshold,
+            run_uvb_transfer=cfg.run_uvb_transfer,
+            n_iter=110 if state.base.rho.dtype == jnp.float64 else 60)
+        base = chemistry.solve_rate_equations(state.base, self.rt.geom,
+                                              rt.dev_tables, **kwargs)
+        levels = []
+        for ell in range(1, self.n_levels):
+            lv = state.levels[ell - 1]
+            f = chemistry.solve_rate_equations(lv.fields,
+                                               self.level_geom(ell),
+                                               rt.dev_tables, **kwargs)
+            # re-zero the padding block: chemistry on its zero fields is
+            # garbage and the sweep/tracer gather it for absent tiles
+            f = jax.tree_util.tree_map(
+                lambda x: x.at[..., -1, :, :, :].set(0.0)
+                if x.ndim >= 4 else x, f)
+            levels.append(dataclasses.replace(lv, fields=f))
+        state = dataclasses.replace(state, base=base, levels=tuple(levels))
+        from .amr_sparse import sync_restriction_sparse
+        return sync_restriction_sparse(state)
+
+    def make_step(self, stellar=None):
+        """Compiled block-sparse L-level iteration (tracer keeps its own
+        cache)."""
+        if stellar is None:
+            return jax.jit(lambda s: self.step(s)[0])
+        rest = jax.jit(self._sweep_and_chemistry)
+
+        def step(state):
+            state = dataclasses.replace(
+                state, base=state.base.zero_rates(),
+                levels=tuple(
+                    dataclasses.replace(lv, fields=lv.fields.zero_rates())
+                    for lv in state.levels))
+            s2, diag = self._traced(state, stellar)
+            return rest(s2), diag
+
+        return step
+
+    def neutral_fraction(self, state) -> float:
+        hi = float(jnp.sum(jnp.where(state.refined0, 0.0, state.base.HI)))
+        nh = float(jnp.sum(jnp.where(state.refined0, 0.0, state.base.nh)))
+        for ell in range(1, self.n_levels):
+            lv = state.levels[ell - 1]
+            leaf = lv.cover & ~lv.refined
+            w = 8.0 ** -ell
+            hi += float(jnp.sum(jnp.where(leaf, lv.fields.HI, 0.0))) * w
+            nh += float(jnp.sum(jnp.where(leaf, lv.fields.nh, 0.0))) * w
+        return hi / nh
