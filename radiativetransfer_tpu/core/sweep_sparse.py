@@ -33,7 +33,8 @@ import numpy as np
 from ..geometry import octants
 from .amr_sparse import SparseMLState
 from .sweep_amr import _prolong_plane
-from .sweep_multilevel import MLSweepPlan, _slab_gauss_seidel
+from .sweep_multilevel import (MLSweepPlan, MLZoneBatch,
+                               _slab_gauss_seidel)
 
 
 def _plane_indices(slot_rot, X, be: int, nb: int):
@@ -207,7 +208,8 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
 
 def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
                          plan: MLSweepPlan, uvb, cell_size,
-                         n_coupling_iters: int = 4):
+                         n_coupling_iters: int = 4,
+                         max_dirs_per_launch: int = 4):
     """Full block-sparse L-level sweep.
 
     k0: (3, n, n, n) base opacity; lv_kappas[l-1]: (3, nb, be, be, be)
@@ -239,9 +241,19 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
     j0_acc = jnp.zeros_like(k0_l)
     jb_acc = [jnp.zeros_like(k) for k in lv_kappas]
 
+    # chunk each zone's direction batch to bound the Gauss-Seidel estimate
+    # planes' footprint (4 keys x sum(2^l) sub-slabs x D x 3 bands at the
+    # finest cross-section — the deep-grid memory driver); chunks of the
+    # same size share one compiled scan body
     groups: dict[int, list] = {}
     for zone in plan.zones:
-        groups.setdefault(zone.ndir, []).append(zone)
+        for s0 in range(0, zone.ndir, max_dirs_per_launch):
+            s1 = min(s0 + max_dirs_per_launch, zone.ndir)
+            chunk = MLZoneBatch(
+                izone=zone.izone, ndir=s1 - s0,
+                params=tuple({k: v[s0:s1] for k, v in p.items()}
+                             for p in zone.params))
+            groups.setdefault(chunk.ndir, []).append(chunk)
 
     def rot_in(iz):
         def f(_):

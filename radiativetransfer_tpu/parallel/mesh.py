@@ -45,8 +45,7 @@ def maybe_initialize_distributed(coordinator: str | None = None,
                   or env.get("COORDINATOR_ADDRESS"))
     if not configured:
         return False
-    state = jax.distributed.global_state
-    if getattr(state, "client", None) is not None:
+    if jax.distributed.is_initialized():
         return True
     kwargs = {}
     if coordinator:
@@ -119,6 +118,34 @@ def shard_state(state, mesh: Mesh):
             return jax.device_put(x, f3)
         if x.ndim == 4:
             return jax.device_put(x, f4)
+        return x
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def make_global(x, sharding: NamedSharding):
+    """Build a (possibly cross-process) global array from a host copy.
+
+    Under jax.distributed every process passes the SAME full host array and
+    keeps only its addressable shards (jax.make_array_from_callback); in a
+    single process this is equivalent to device_put.  This is the
+    multi-host-safe placement primitive — device_put rejects shardings that
+    span non-addressable devices."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx])
+
+
+def shard_state_global(state, mesh: Mesh):
+    """Multi-host-safe variant of shard_state (same layout contract)."""
+    f3 = field_sharding(mesh)
+    f4 = band_field_sharding(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim == 3:
+            return make_global(x, f3)
+        if hasattr(x, "ndim") and x.ndim == 4:
+            return make_global(x, f4)
         return x
 
     return jax.tree_util.tree_map(place, state)
