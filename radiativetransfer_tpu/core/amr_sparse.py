@@ -41,6 +41,11 @@ from .state import FieldState, GridGeometry, make_state
 _FIELD_NAMES = [f.name for f in dataclasses.fields(FieldState)]
 
 
+def _present_names(fs: FieldState):
+    """Field names with data (optional fields like vel may be None)."""
+    return [n for n in _FIELD_NAMES if getattr(fs, n) is not None]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SparseLevel:
@@ -178,7 +183,7 @@ def sparse_from_dense(ml: MultiLevelState, be: int = 8) -> SparseMLState:
         st = ml.levels[ell]
         fields = FieldState(**{
             name: jnp.asarray(blockify(np.asarray(getattr(st, name))))
-            for name in _FIELD_NAMES})
+            for name in _present_names(st)})
         levels.append(SparseLevel(
             fields=fields, slot=jnp.asarray(slot),
             origin=jnp.asarray(origin),
@@ -231,7 +236,7 @@ def dense_from_sparse(sp: SparseMLState) -> MultiLevelState:
                 x[i], 2, 0), 2, 1), 2, 2) for i in range(x.shape[0])])
 
         fields = {}
-        for name in _FIELD_NAMES:
+        for name in _present_names(lv.fields):
             fill = pl(getattr(prev, name))
             fields[name] = jnp.asarray(
                 unblockify(getattr(lv.fields, name), fill))
@@ -319,7 +324,7 @@ def make_sparse_state(base: FieldState, refined, be: int = 8
 
         src = base if parent_level is None else parent_level.fields
         fields = {}
-        for name in _FIELD_NAMES:
+        for name in _present_names(src):
             g = parent_gather(getattr(src, name))
             pad_shape = ((1, be, be, be) if g.ndim == 4
                          else (g.shape[0], 1, be, be, be))
@@ -402,7 +407,7 @@ def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
         be = lv.be
         h = be // 2
         rest = {name: _restrict_blocks(getattr(lv.fields, name))
-                for name in _FIELD_NAMES}
+                for name in _present_names(lv.fields)}
         p0 = lv.origin // 2                                  # (nb, 3)
         oy = jnp.arange(h)
         ix = p0[:, 0, None, None, None] + oy[None, :, None, None]
@@ -421,9 +426,9 @@ def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
                     return b.at[ix, iy, iz].set(val)   # OOB scatters drop
                 return jnp.stack([write_dense(b[i], r[i])
                                   for i in range(b.shape[0])])
-            base = FieldState(**{
+            base = dataclasses.replace(base, **{
                 name: write_dense(getattr(base, name), rest[name])
-                for name in _FIELD_NAMES})
+                for name in rest})
         else:
             par = levels[ell - 2]
             pbe = par.be
@@ -447,9 +452,9 @@ def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
                         r.astype(b.dtype)).reshape(b.shape)
                 return jnp.stack([write_sparse(b[i], r[i])
                                   for i in range(b.shape[0])])
-            par_fields = FieldState(**{
+            par_fields = dataclasses.replace(par.fields, **{
                 name: write_sparse(getattr(par.fields, name), rest[name])
-                for name in _FIELD_NAMES})
+                for name in rest})
             levels[ell - 2] = dataclasses.replace(par, fields=par_fields)
     return SparseMLState(base=base, refined0=state.refined0,
                          levels=tuple(levels))

@@ -44,6 +44,11 @@ class FieldState:
     crate26: jax.Array
     Jmean: jax.Array       # (3, nx, ny, nz)
     hydroHeating: jax.Array
+    # Optional kinematics (velx/y/z), carried for I/O round-trips exactly as
+    # the reference does (placeCellProjectWithVelocity,
+    # equiSources.f90:1870-1974; writeIonization :4869-4890): transport and
+    # chemistry never read it.  None when the grid has no velocity data.
+    vel: jax.Array | None = None    # (3, nx, ny, nz) [km/s] or None
 
     @property
     def shape(self) -> tuple[int, int, int]:
@@ -69,7 +74,7 @@ class FieldState:
 
 
 def make_state(rho, tgas, HI, HeI=None, HeII=None, abun2=None,
-               dtype=jnp.float32) -> FieldState:
+               dtype=jnp.float32, vel=None) -> FieldState:
     """Build a FieldState from density/temperature/neutral-H arrays.
 
     Helium defaults to fully neutral, matching grid ingestion
@@ -91,7 +96,8 @@ def make_state(rho, tgas, HI, HeI=None, HeII=None, abun2=None,
         HeI=jnp.asarray(HeI, dtype), HeII=jnp.asarray(HeII, dtype),
         abun2=jnp.asarray(abun2, dtype),
         krate24=z, krate25=z, krate26=z, crate24=z, crate25=z, crate26=z,
-        Jmean=jnp.zeros((3,) + shape, dtype), hydroHeating=z)
+        Jmean=jnp.zeros((3,) + shape, dtype), hydroHeating=z,
+        vel=None if vel is None else jnp.asarray(vel, dtype))
 
 
 def uniform_state(n: int, nh: float = 1.0e-3, tgas: float = 1.0e4,

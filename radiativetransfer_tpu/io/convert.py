@@ -42,7 +42,8 @@ def snapshot2levels(src: str, dst: str) -> None:
         shape = tuple(f["base_grid_size"])
         levels_arr = f["level"]
         fields = {k: f[k] for k in ("HI", "HeI", "HeII", "temperature",
-                                    "density") if k in f}
+                                    "density", "velx", "vely", "velz")
+                  if k in f}
     n = shape[0]
     nlv = int(levels_arr.max()) + 1
     if nlv == 1:

@@ -174,6 +174,10 @@ def levels_to_dense(levels: list[LevelData], n: int, read_metals: bool
     extension keeps them on their own levels).
     """
     fields = {k: np.zeros((n, n, n)) for k in ("tgas", "nh", "xneu", "abun2")}
+    has_vel = any(lv.vel is not None for lv in levels if lv.ncell)
+    if has_vel:
+        for k in ("velx", "vely", "velz"):
+            fields[k] = np.zeros((n, n, n))
     wsum = np.zeros((n, n, n))
     for li, lv in enumerate(levels):
         if lv.ncell == 0:
@@ -186,8 +190,14 @@ def levels_to_dense(levels: list[LevelData], n: int, read_metals: bool
         xneu = 10.0 ** lv.lx.astype(np.float64)
         abun2 = lv.abun[:, 1].astype(np.float64) if lv.abun is not None \
             else np.full(lv.ncell, 0.02)
-        for key, val in (("tgas", tgas), ("nh", nh), ("xneu", xneu),
-                         ("abun2", abun2)):
+        cols = [("tgas", tgas), ("nh", nh), ("xneu", xneu),
+                ("abun2", abun2)]
+        if has_vel:
+            v = (lv.vel.astype(np.float64) if lv.vel is not None
+                 else np.zeros((lv.ncell, 3)))
+            cols += [("velx", v[:, 0]), ("vely", v[:, 1]),
+                     ("velz", v[:, 2])]
+        for key, val in cols:
             np.add.at(fields[key].reshape(-1), flat, w * val)
         np.add.at(wsum.reshape(-1), flat, w)
     wsum = np.where(wsum > 0, wsum, 1.0)
@@ -208,5 +218,8 @@ def build_uniform_state(levels: list[LevelData], read_metals: bool,
         abun2 = smooth_metallicity(abun2)
     rho = dense["nh"] * MH / PSI
     HI = dense["nh"] * dense["xneu"]
-    state = make_state(rho, dense["tgas"], HI, abun2=abun2, dtype=dtype)
+    vel = (np.stack([dense["velx"], dense["vely"], dense["velz"]])
+           if "velx" in dense else None)
+    state = make_state(rho, dense["tgas"], HI, abun2=abun2, dtype=dtype,
+                       vel=vel)
     return state, GridGeometry(n, n, n, box)

@@ -49,6 +49,13 @@ def write_snapshot(path: str, state: FieldState, itime: int,
         "density": np.asarray(state.rho, np.float32).reshape(-1),
         "abun2": np.asarray(state.abun2, np.float32).reshape(-1),
     }
+    if state.vel is not None:
+        # the reference writes velx/vely/velz for kinematics runs
+        # (writeIonization, equiSources.f90:4869-4890)
+        v = np.asarray(state.vel, np.float32)
+        data["velx"] = v[0].reshape(-1)
+        data["vely"] = v[1].reshape(-1)
+        data["velz"] = v[2].reshape(-1)
     if extra:
         data.update(extra)
     np.savez_compressed(path, **data)
@@ -70,6 +77,12 @@ def read_snapshot(path: str, state: FieldState) -> tuple[FieldState, int]:
         HeI = jnp.asarray(f["HeI"].reshape(shape), state.HI.dtype)
         HeII = jnp.asarray(f["HeII"].reshape(shape), state.HI.dtype)
         tgas = jnp.asarray(f["temperature"].reshape(shape), state.HI.dtype)
+        vel = state.vel
+        if "velx" in f:
+            vel = jnp.asarray(np.stack([f["velx"].reshape(shape),
+                                        f["vely"].reshape(shape),
+                                        f["velz"].reshape(shape)]),
+                              state.HI.dtype)
 
     nh = state.nh
     nhe = state.nhe
@@ -81,7 +94,7 @@ def read_snapshot(path: str, state: FieldState) -> tuple[FieldState, int]:
     HeI = HeI * scale
     HeII = HeII * scale
     return dataclasses.replace(state, HI=HI, HeI=HeI, HeII=HeII,
-                               tgas=tgas), itime
+                               tgas=tgas, vel=vel), itime
 
 
 def write_snapshot_amr(path: str, state, itime: int,
