@@ -300,14 +300,40 @@ def main(argv=None):
     tlog = snapshot.TimeLog(os.path.join(args.snapshot_dir, "time"))
     species = None
     if args.chemistry == "noneq":
-        if use_amr or use_ml:
-            sys.exit("--chemistry noneq is uniform-grid only")
         from .core import chemistry_noneq as cn
-        species = cn.species_from_field_state(state)
-        step = model.make_noneq_step(args.dt_myr * MYR, stellar_ctx,
-                                     evolve_energy=args.evolve_energy)
-        print(f"non-equilibrium chemistry: dt = {args.dt_myr} Myr, "
-              f"evolve_energy = {args.evolve_energy}")
+        if use_amr or use_ml:
+            # nested grids run through the L-level noneq step
+            if mesh is not None:
+                sys.exit("--chemistry noneq on nested grids is "
+                         "single-device for now")
+            if use_amr:
+                from .core import amr as amr_mod
+                from .core import step_amr
+                ml_state = amr_mod.MultiLevelState(
+                    levels=(amr_state.base, amr_state.fine),
+                    refined=(amr_state.refined,))
+                amodel = step_amr.MultiLevelModel.setup(model, 2)
+                use_ml, use_amr = True, False
+            species = tuple(cn.species_from_field_state(lv)
+                            for lv in ml_state.levels)
+            step = amodel.make_noneq_step(
+                args.dt_myr * MYR, stellar_ctx,
+                evolve_energy=args.evolve_energy)
+            print(f"non-equilibrium chemistry ({ml_state.n_levels} levels):"
+                  f" dt = {args.dt_myr} Myr, "
+                  f"evolve_energy = {args.evolve_energy}")
+        else:
+            species = cn.species_from_field_state(state)
+            if mesh is not None:
+                state = pmesh.shard_state(state, mesh)
+                species = pmesh.shard_species(species, mesh)
+            step = model.make_noneq_step(args.dt_myr * MYR, stellar_ctx,
+                                         evolve_energy=args.evolve_energy,
+                                         mesh=mesh)
+            print(f"non-equilibrium chemistry: dt = {args.dt_myr} Myr, "
+                  f"evolve_energy = {args.evolve_energy}"
+                  + (f", mesh = {mesh.devices.shape}" if mesh is not None
+                     else ""))
     elif use_ml:
         if mesh is not None:
             if cfg.sweep_strategy not in ("", "auto"):
@@ -334,7 +360,11 @@ def main(argv=None):
         itime += 1
         t0 = time.time()
         if use_ml:
-            if stellar_ctx is not None:
+            if species is not None:
+                out = step(ml_state, species)
+                ml_state, species = out[0], out[1]
+                diag = out[2] if len(out) > 2 else None
+            elif stellar_ctx is not None:
                 ml_state, diag = step(ml_state)
             else:
                 ml_state = step(ml_state)

@@ -98,7 +98,12 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
         # parent's faces (even fine indices) elsewhere
         f_bound = jnp.where(lvl1[:, None], cf + dpos, 2 * (cb + dpos))
         t_ax = (f_bound / n2 - state.pos) / d_safe
-        t_min = jnp.min(t_ax, axis=1)
+        # f32 position round-off can overshoot a face, making the
+        # next crossing distance slightly negative; the exact value
+        # is 0 (drawSegment's geometry is nonnegative), and leaving
+        # it negative walks pos backward while the cell index
+        # advances, compounding the desync until tau diverges
+        t_min = jnp.maximum(jnp.min(t_ax, axis=1), 0.0)
         exit_axis = jnp.argmin(t_ax, axis=1)
         seg_cells = t_min * n                    # base-cell units
 
@@ -137,7 +142,13 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
         else:
             taud = plen * nh * SIGMA_DUST_AT_NU1 * ab2 / 0.2
         tau = jnp.stack([tau1, tau2, tau3, taud], axis=1)
-        tau = jnp.where(active[:, None], tau, 0.0)
+        tau = jnp.where(active[:, None], jnp.maximum(tau, 0.0), 0.0)
+        # re-read the masked components: dead rays carry frozen (possibly
+        # out-of-box) state whose raw segment values can be huge or
+        # NEGATIVE (t_min < 0), and a negative tau overflows exp() to inf
+        # in the deposit math, which w=0 then turns into scattered NaNs
+        tau1, tau2, tau3, taud = tau[:, 0], tau[:, 1], tau[:, 2], tau[:, 3]
+        plen = jnp.where(active, plen, 0.0)
 
         # escape-fraction bookkeeping (equiSources.f90:3198-3226)
         r1 = state.radius * cell_size

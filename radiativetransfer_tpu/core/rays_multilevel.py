@@ -35,9 +35,11 @@ from ..constants import (
     rmax_table,
 )
 from .rays import (
+    NoneqRateFields,
     RateFields,
     RayDiagnostics,
     SourceBatch,
+    _deposit_noneq,
     _deposit_quadrature,
     _interp_flat,
     _pack_fields,
@@ -144,7 +146,12 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
         # exit faces at the LEAF's granularity, in finest-grid units
         f_bound = (((cf >> shift[:, None]) + dpos) << shift[:, None])
         t_ax = (f_bound / nF - state.pos) / d_safe
-        t_min = jnp.min(t_ax, axis=1)
+        # f32 position round-off can overshoot a face, making the
+        # next crossing distance slightly negative; the exact value
+        # is 0 (drawSegment's geometry is nonnegative), and leaving
+        # it negative walks pos backward while the cell index
+        # advances, compounding the desync until tau diverges
+        t_min = jnp.maximum(jnp.min(t_ax, axis=1), 0.0)
         exit_axis = jnp.argmin(t_ax, axis=1)
         seg_cells = t_min * n                               # base-cell units
 
@@ -183,7 +190,13 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
         else:
             taud = plen * nh * SIGMA_DUST_AT_NU1 * ab2 / 0.2
         tau = jnp.stack([tau1, tau2, tau3, taud], axis=1)
-        tau = jnp.where(active[:, None], tau, 0.0)
+        tau = jnp.where(active[:, None], jnp.maximum(tau, 0.0), 0.0)
+        # re-read the masked components: dead rays carry frozen (possibly
+        # out-of-box) state whose raw segment values can be huge or
+        # NEGATIVE (t_min < 0), and a negative tau overflows exp() to inf
+        # in the deposit math, which w=0 then turns into scattered NaNs
+        tau1, tau2, tau3, taud = tau[:, 0], tau[:, 1], tau[:, 2], tau[:, 3]
+        plen = jnp.where(active, plen, 0.0)
 
         # escape-fraction bookkeeping (equiSources.f90:3198-3226)
         r1 = state.radius * cell_size
@@ -220,16 +233,19 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
                 v_in[:, 5] - v_a3[:, 5], v_in[:, 4] - v_a2[:, 4])
             deposit = tuple(w * x for x in dep_unit)
         else:
-            quad_A, quad_W = rate_ctx[1]
+            quad_A, quad_W = rate_ctx[1][:2]
             dtau = jnp.stack([tau1, tau2, tau3], axis=1)
             deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
                                           state.table_idx, w)
+            if rates_mode == "quadrature_noneq":
+                deposit = deposit + _deposit_noneq(
+                    d0, quad_A, rate_ctx[1][2], state.table_idx, w, plen)
 
         new_rfs = []
         for ell in range(L):
             on_l = (lvl == ell).astype(w.dtype)
             idx_l = flat_at(cf, ell)
-            new_rfs.append(RateFields(*(
+            new_rfs.append(type(rfs[ell])(*(
                 getattr(rfs[ell], f.name).at[idx_l].add(v * on_l)
                 for f, v in zip(dataclasses.fields(rfs[ell]), deposit))))
         rfs = tuple(new_rfs)
@@ -294,10 +310,18 @@ def _trace_all_phases_ml(fields, init_state, tables, geom, n_levels,
     diag = RayDiagnostics.zeros(n_sources, dtype)
     # deposit sizes follow the packed field layout: (n*2^l)^3 dense, or
     # nb*be^3 block-flat for sparse storage
-    rfs = tuple(RateFields(*[jnp.zeros(fields[f"lv{ell}"].shape[0], dtype)
-                             for _ in range(6)])
+    rf_cls, n_ch = ((NoneqRateFields, 11)
+                    if rates_mode == "quadrature_noneq"
+                    else (RateFields, 6))
+    rfs = tuple(rf_cls(*[jnp.zeros(fields[f"lv{ell}"].shape[0], dtype)
+                         for _ in range(n_ch)])
                 for ell in range(n_levels))
-    if rates_mode == "quadrature":
+    if rates_mode == "quadrature_noneq":
+        rate_ctx = ("quadrature_noneq",
+                    (jnp.asarray(tables["quad_A"], dtype),
+                     jnp.asarray(tables["quad_W"], dtype),
+                     jnp.asarray(tables["quad_W27"], dtype)))
+    elif rates_mode == "quadrature":
         rate_ctx = ("quadrature", (jnp.asarray(tables["quad_A"], dtype),
                                    jnp.asarray(tables["quad_W"], dtype)))
     else:

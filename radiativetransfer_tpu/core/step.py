@@ -447,7 +447,8 @@ class RTModel:
 
     def make_noneq_step(self, dt: float, stellar: StellarContext | None = None,
                         noneq_tables=None, n_substeps: int = 200,
-                        evolve_energy: bool = False, f_h2: float = 0.0):
+                        evolve_energy: bool = False, f_h2: float = 0.0,
+                        mesh=None):
         """Transport + NON-EQUILIBRIUM chemistry iteration advancing the
         9-species network by dt [s] per step (the capability the reference
         built its k1..k19/k13dd/sigma24..31 tables for but never wired;
@@ -457,6 +458,12 @@ class RTModel:
         the FieldState the transport sees (HI/HeI/HeII synced from the
         species each step), `species` the chemistry_noneq.SpeciesState.
         Use chemistry_noneq.species_from_field_state to initialize.
+
+        With `mesh`, the point-source phase runs source-parallel
+        (parallel.rays_dist, quadrature_noneq deposits reduce-scattered
+        onto the grid decomposition) and the sweep + network integration
+        partition under GSPMD from the sharded state/species
+        (parallel.mesh.shard_state / shard_species).
         """
         from . import chemistry_noneq as cn
 
@@ -493,11 +500,19 @@ class RTModel:
 
         def step(state: FieldState, species):
             state = state.zero_rates()
-            rf, diag = rays.trace_point_sources(
-                state, self.geom, stellar.sources, stellar.tables,
-                dust_approximation=stellar.dust_approximation,
-                max_pixel_level=stellar.max_pixel_level,
-                dtype=state.rho.dtype, rates_mode="quadrature_noneq")
+            if mesh is not None:
+                from ..parallel import rays_dist
+                rf, diag = rays_dist.trace_point_sources_dist(
+                    state, self.geom, stellar.sources, stellar.tables, mesh,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.rho.dtype, rates_mode="quadrature_noneq")
+            else:
+                rf, diag = rays.trace_point_sources(
+                    state, self.geom, stellar.sources, stellar.tables,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.rho.dtype, rates_mode="quadrature_noneq")
             shape = state.shape
             state = dataclasses.replace(
                 state,

@@ -279,6 +279,113 @@ class MultiLevelModel:
                  for ell, (lv, m) in enumerate(zip(state.levels, leafs)))
         return hi / nh
 
+    def make_noneq_step(self, dt: float, stellar=None, noneq_tables=None,
+                        n_substeps: int = 200, evolve_energy: bool = False):
+        """Transport + non-equilibrium 9-species chemistry on an L-level
+        nested grid (lifts the round-2 uniform-only restriction,
+        cli.py:303-304; the reference's network tables are global,
+        /root/reference/coll_rates.f:3-234, so nothing in the physics is
+        level-specific — each level evolves elementwise with its own photo
+        rates, then species restrict onto refined parents).
+
+        Returns step(state, species_list) ->
+        (state, species_list[, diag]); species_list holds one
+        chemistry_noneq.SpeciesState per level
+        (chemistry_noneq.species_from_field_state on each level)."""
+        from . import chemistry_noneq as cn
+        from . import rays_multilevel, sweep_multilevel
+        rt = self.rt
+        cfg = rt.config
+        dtype = (jnp.float64 if jax.config.jax_enable_x64
+                 else jnp.float32)
+        if noneq_tables is None:
+            noneq_tables = cn.NoneqTablesDevice.from_tables(rt.tables, dtype)
+        L = self.n_levels
+
+        def sweep_and_evolve(state, species_list, rfs):
+            if cfg.run_uvb_transfer:
+                kappas = [opacity.compute_opacities(
+                    lv.HI, lv.HeI, lv.HeII, rt.opacity_coef)
+                    for lv in state.levels]
+                js = sweep_multilevel.diffuse_sweep_multilevel(
+                    kappas, list(state.refined), self.plan,
+                    jnp.asarray(rt.uvb, kappas[0].dtype), rt.geom.cell_size)
+                state = amr.MultiLevelState(
+                    levels=tuple(dataclasses.replace(lv, Jmean=j)
+                                 for lv, j in zip(state.levels, js)),
+                    refined=state.refined)
+            new_levels, new_species = [], []
+            for ell, (lv, spc) in enumerate(zip(state.levels, species_list)):
+                rf_l = None
+                if rfs is not None:
+                    # secondary channels are per-particle rates built with
+                    # the base cell volume folded into quad_W27: level-l
+                    # cells have 8^-l the volume (cf. _traced)
+                    s = 8.0 ** ell
+                    shp = lv.shape
+                    rf_l = rays_multilevel.NoneqRateFields(*(
+                        jnp.asarray(getattr(rfs[ell], f.name)).reshape(shp)
+                        * s
+                        for f in dataclasses.fields(rfs[ell])))
+                photo = rt._assemble_photo_rates(lv, rf_l)
+                spc = cn.evolve_noneq(
+                    spc, dt, noneq_tables, photo=photo,
+                    n_substeps=n_substeps, evolve_energy=evolve_energy,
+                    tgas_fixed=None if evolve_energy else lv.tgas,
+                    current_redshift=cfg.current_redshift)
+                lv = dataclasses.replace(
+                    lv, HI=spc.HI.astype(lv.HI.dtype),
+                    HeI=spc.HeI.astype(lv.HI.dtype),
+                    HeII=spc.HeII.astype(lv.HI.dtype),
+                    tgas=(spc.tgas.astype(lv.tgas.dtype)
+                          if evolve_energy else lv.tgas))
+                new_levels.append(lv)
+                new_species.append(spc)
+            state = amr.sync_restriction_multi(amr.MultiLevelState(
+                levels=tuple(new_levels), refined=state.refined))
+            # species restriction: refined parents hold the child average
+            for ell in range(L - 2, -1, -1):
+                r = state.refined[ell]
+                new_species[ell] = jax.tree_util.tree_map(
+                    lambda b, f, r=r: jnp.where(r, amr.restrict(f), b),
+                    new_species[ell], new_species[ell + 1])
+            return state, tuple(new_species)
+
+        if stellar is None:
+            def zero(state):
+                return amr.MultiLevelState(
+                    levels=tuple(lv.zero_rates() for lv in state.levels),
+                    refined=state.refined)
+            return jax.jit(lambda state, species: sweep_and_evolve(
+                zero(state), species, None))
+        rest = jax.jit(sweep_and_evolve)
+
+        def step(state, species_list):
+            state = amr.MultiLevelState(
+                levels=tuple(lv.zero_rates() for lv in state.levels),
+                refined=state.refined)
+            rfs, diag = rays_multilevel.trace_point_sources_ml(
+                state, rt.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.levels[0].rho.dtype,
+                rates_mode="quadrature_noneq")
+            new_levels = []
+            names = ("krate24", "krate25", "krate26",
+                     "crate24", "crate25", "crate26")
+            for ell, (lv, rf) in enumerate(zip(state.levels, rfs)):
+                s = 8.0 ** ell
+                shp = lv.shape
+                new_levels.append(dataclasses.replace(
+                    lv, **{nm: getattr(rf, nm).reshape(shp) * s
+                           for nm in names}))
+            state = amr.MultiLevelState(levels=tuple(new_levels),
+                                        refined=state.refined)
+            state, species_list = rest(state, species_list, rfs)
+            return state, species_list, diag
+
+        return step
+
 
 @dataclasses.dataclass
 class SparseMLModel:

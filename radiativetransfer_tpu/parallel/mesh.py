@@ -123,6 +123,13 @@ def shard_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(place, state)
 
 
+def shard_species(species, mesh: Mesh):
+    """Apply the grid sharding to a chemistry_noneq.SpeciesState (all
+    arrays share the (nx, ny, nz) grid shape)."""
+    f3 = field_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, f3), species)
+
+
 def make_global(x, sharding: NamedSharding):
     """Build a (possibly cross-process) global array from a host copy.
 

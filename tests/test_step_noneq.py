@@ -125,3 +125,104 @@ def test_stellar_noneq_step_destroys_h2():
     assert h2[8, 8, 8] < h2[0, 0, 0]
     # diagnostics still produced
     assert np.asarray(diag.ndot_remaining).shape[0] == 1
+
+
+class TestNoneqMultiLevel:
+    """noneq x AMR (VERDICT r2 missing-5): the 9-species network on nested
+    grids via MultiLevelModel.make_noneq_step."""
+
+    def _models(self, n=6):
+        from radiativetransfer_tpu.core import step_amr
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 200.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        return rt, step_amr.MultiLevelModel.setup(rt, 2), geom, n
+
+    def test_unrefined_two_level_matches_uniform(self):
+        from radiativetransfer_tpu.core import amr
+        rt, ml, geom, n = self._models()
+        base = rt.initialize_equilibrium(
+            uniform_state(n, nh=1e-4, tgas=2e4, dtype=jnp.float64))
+        # uniform reference
+        species_u = cn.species_from_field_state(base)
+        step_u = rt.make_noneq_step(10.0 * MYR, n_substeps=150)
+        st_u, species_u = step_u(base, species_u)
+
+        st = amr.make_multilevel_state(base, [np.zeros((n, n, n), bool)])
+        species = [cn.species_from_field_state(lv) for lv in st.levels]
+        step = ml.make_noneq_step(10.0 * MYR, n_substeps=150)
+        st, species = step(st, tuple(species))
+        np.testing.assert_allclose(np.asarray(st.levels[0].HI),
+                                   np.asarray(st_u.HI), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(species[0].H2I),
+                                   np.asarray(species_u.H2I), rtol=1e-10)
+
+    def test_refined_two_level_evolves_consistently(self):
+        from radiativetransfer_tpu.core import amr
+        rt, ml, geom, n = self._models()
+        base = rt.initialize_equilibrium(
+            uniform_state(n, nh=1e-4, tgas=2e4, dtype=jnp.float64))
+        refined = np.zeros((n, n, n), bool)
+        refined[2:4, 2:4, 2:4] = True
+        st = amr.make_multilevel_state(base, [refined])
+        species = [cn.species_from_field_state(lv) for lv in st.levels]
+        step = ml.make_noneq_step(10.0 * MYR, n_substeps=150)
+        nf0 = ml.neutral_fraction(st)
+        for _ in range(2):
+            st, species = step(st, species)
+        nf = ml.neutral_fraction(st)
+        # starting at photoionization equilibrium, the network stays there
+        assert np.isfinite(nf) and 0.0 < nf < 2.0 * nf0
+        # hydrogen nuclei conserved per level
+        for ell, spc in enumerate(species):
+            np.testing.assert_allclose(np.asarray(spc.nh),
+                                       np.asarray(st.levels[ell].nh),
+                                       rtol=1e-8)
+        # restriction consistency: refined parents hold child averages
+        hi_r = np.asarray(amr.restrict(st.levels[1].HI))
+        np.testing.assert_allclose(np.asarray(st.levels[0].HI)[refined],
+                                   hi_r[refined], rtol=1e-12)
+        h2_r = np.asarray(amr.restrict(species[1].H2I))
+        np.testing.assert_allclose(np.asarray(species[0].H2I)[refined],
+                                   h2_r[refined], rtol=1e-12)
+
+
+class TestNoneqSharded:
+    """noneq x mesh (VERDICT r2 missing-5): the uniform noneq step on a
+    virtual 8-device mesh, source-parallel tracer + GSPMD tail."""
+
+    def test_sharded_noneq_stellar_matches_single(self):
+        from radiativetransfer_tpu.parallel import mesh as pmesh
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        n = 16
+        cfg = RunConfig(mode=MODE_BOTH_STELLAR_UVB_TRANSFER,
+                        current_redshift=6.55, n_angular_level=1,
+                        reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 100.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        state = rt.initialize_equilibrium(
+            uniform_state(n, nh=1e-4, tgas=2e4, dtype=jnp.float64))
+        rng = np.random.default_rng(3)
+        batch = rays.SourceBatch(position=rng.uniform(0.3, 0.7, (5, 3)),
+                                 weight=np.ones(5),
+                                 table_idx=np.zeros(5, np.int32))
+        ctx = step_mod.StellarContext.build(
+            stellar_tables.blackbody_population(), batch, geom, 10.0 * MYR,
+            metal_coefs=[(0, 0.0)], max_pixel_level=3, noneq=True)
+        species = cn.species_from_field_state(state)
+        step_s = rt.make_noneq_step(5.0 * MYR, ctx, n_substeps=100)
+        st_ref, spc_ref, _ = step_s(state, species)
+
+        mesh = pmesh.make_grid_mesh(8)
+        st = pmesh.shard_state(state, mesh)
+        spc = pmesh.shard_species(species, mesh)
+        step_d = rt.make_noneq_step(5.0 * MYR, ctx, n_substeps=100,
+                                    mesh=mesh)
+        st_d, spc_d, _ = step_d(st, spc)
+        np.testing.assert_allclose(np.asarray(st_d.HI),
+                                   np.asarray(st_ref.HI), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(spc_d.H2I),
+                                   np.asarray(spc_ref.H2I), rtol=1e-9)
