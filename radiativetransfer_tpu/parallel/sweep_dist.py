@@ -61,13 +61,18 @@ def _zone_params(zone: ZoneBatch, dtype):
 # --------------------------------------------------------------------------
 
 def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
-                     axis_name: str, n_shards: int):
-    """One zone's slab scan on a local (nslab, 3, ny, nz/P) block.
+                     axis_name: str, n_shards: int,
+                     axis_name_j: str | None = None, n_shards_j: int = 1):
+    """One zone's slab scan on a local (nslab, 3, ny[/Pj], nz/Pk) block.
 
     Identical arithmetic to core.sweep.sweep_zone; the only difference is
-    that the upwind `yz` shift (array axis -1, the sharded axis) sources its
-    first line from the left-neighbor device via ppermute instead of a local
-    slice, and only shard 0 applies the UVB boundary.
+    that the upwind in-plane shifts source their first line from the
+    left-neighbor device via ppermute instead of a local slice, and only
+    shard 0 of each sharded axis applies the UVB boundary.  With a 1-D mesh
+    only the `yz` shift (array axis -1) is remote; on a 2-D mesh the `xz`
+    shift (array axis -2, axis_name_j) exchanges its own boundary line too
+    — the scan axis is never sharded either way, so the slab pipeline
+    stays bubble-free (SURVEY.md §7.3, VERDICT r2 missing-6).
     """
     nslab, nb, ny, nz_loc = kappa_rot.shape
     ndir = params["len_xy"].shape[1]
@@ -88,6 +93,17 @@ def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
         first = jnp.where(idx == 0, uvb_k, halo)
         return jnp.concatenate([first, x[..., :-1]], axis=-1)
 
+    if axis_name_j is None:
+        shift_j_halo = lambda x: _shift_j(x, uvb_j)
+    else:
+        idx_j = jax.lax.axis_index(axis_name_j)
+        perm_j = [(i, i + 1) for i in range(n_shards_j - 1)]
+
+        def shift_j_halo(x):
+            halo = jax.lax.ppermute(x[..., -1:, :], axis_name_j, perm_j)
+            first = jnp.where(idx_j == 0, uvb_j, halo)
+            return jnp.concatenate([first, x[..., :-1, :]], axis=-2)
+
     xs = dict(params)
     xs["kappa"] = kappa_rot
 
@@ -101,13 +117,13 @@ def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
 
         is2_xz = (x["chain2"] == SEG_XZ)[:, None, None, None]
         act2 = (x["chain2"] != 0)[:, None, None, None]
-        i_in2 = jnp.where(is2_xz, _shift_j(i_out1, uvb_j), shift_k_halo(i_out1))
+        i_in2 = jnp.where(is2_xz, shift_j_halo(i_out1), shift_k_halo(i_out1))
         len2 = jnp.where(x["chain2"] == SEG_XZ, x["len_xz"], x["len_yz"])
         i_out2, lm2 = _attenuate(i_in2, seg_tau(len2))
 
         is3_xz = (x["chain3"] == SEG_XZ)[:, None, None, None]
         act3 = (x["chain3"] != 0)[:, None, None, None]
-        i_in3 = jnp.where(is3_xz, _shift_j(i_out2, uvb_j), shift_k_halo(i_out2))
+        i_in3 = jnp.where(is3_xz, shift_j_halo(i_out2), shift_k_halo(i_out2))
         len3 = jnp.where(x["chain3"] == SEG_XZ, x["len_xz"], x["len_yz"])
         i_out3, lm3 = _attenuate(i_in3, seg_tau(len3))
 
@@ -132,29 +148,39 @@ def diffuse_sweep_pipelined(kappa, plan: SweepPlan, uvb, cell_size,
     (or shardable) over `mesh`'s first axis.  Returns Jmean (3, nx, ny, nz)
     sharded on the last grid axis.
     """
-    axis = mesh.axis_names[0]
-    n_shards = int(np.prod(mesh.devices.shape))
+    axes = mesh.axis_names
+    if len(axes) > 2:
+        raise ValueError("pipelined strategy supports 1-D and 2-D meshes "
+                         "(the scan axis must stay unsharded)")
+    axis = axes[-1]
+    n_shards = mesh.devices.shape[-1]
+    axis_j = axes[0] if len(axes) == 2 else None
+    n_shards_j = mesh.devices.shape[0] if len(axes) == 2 else 1
     uvb = jnp.asarray(uvb, kappa.dtype)
     kappa_l = jnp.moveaxis(kappa, 0, -1)                  # (nx,ny,nz,3)
-    grid_spec = P(None, None, axis, None)
+    grid_spec = (P(None, axis_j, axis, None) if axis_j
+                 else P(None, None, axis, None))
     jmean = jax.lax.with_sharding_constraint(
         jnp.zeros_like(kappa_l), NamedSharding(mesh, grid_spec))
+    plane_spec = (P(None, None, axis_j, axis) if axis_j
+                  else P(None, None, None, axis))
 
     for zone in plan.zones:
         krot = octants.rotate_to_sweep(kappa_l, zone.izone)
         krot = jnp.moveaxis(krot, -1, 1)                  # (nslab,3,ny,nz)
-        # re-shard onto the rotated last in-plane axis: the scan axis is
-        # never sharded, so the slab pipeline runs bubble-free in lockstep
+        # re-shard onto the rotated in-plane axes: the scan axis is never
+        # sharded, so the slab pipeline runs bubble-free in lockstep
         krot = jax.lax.with_sharding_constraint(
-            krot, NamedSharding(mesh, P(None, None, None, axis)))
+            krot, NamedSharding(mesh, plane_spec))
         params = _zone_params(zone, kappa.dtype)
         kernel = jax.shard_map(
             partial(_sweep_zone_halo, uvb=uvb, cell_size=cell_size,
-                    weight=plan.weight, axis_name=axis, n_shards=n_shards),
+                    weight=plan.weight, axis_name=axis, n_shards=n_shards,
+                    axis_name_j=axis_j, n_shards_j=n_shards_j),
             mesh=mesh,
-            in_specs=(P(None, None, None, axis),
+            in_specs=(plane_spec,
                       jax.tree_util.tree_map(lambda _: P(), params)),
-            out_specs=P(None, None, None, axis),
+            out_specs=plane_spec,
             check_vma=False)
         j_rot = kernel(krot, params)
         j_rot = jnp.moveaxis(j_rot, 1, -1)

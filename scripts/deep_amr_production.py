@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--angular", type=int, default=3)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--eager", action="store_true",
+                    help="run the sweep+chemistry tail eagerly (one compile "
+                         "per zone-group scan instead of one monolithic jit "
+                         "— avoids tunnel-size compiles at the largest "
+                         "configs)")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +104,8 @@ def main():
     geom = GridGeometry(n, n, n, 1200.0 * KPC)
     rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
     model = step_amr.SparseMLModel.setup(rt, L)
-    step = model.make_step()
+    step = ((lambda s: model.step(s)[0]) if args.eager
+            else model.make_step())
 
     for i in range(args.steps):
         t0 = time.time()

