@@ -454,27 +454,33 @@ class SparseMLModel:
         return dataclasses.replace(state, base=base,
                                    levels=tuple(levels)), diag
 
+    def _apply_sweep(self, state):
+        from . import sweep_sparse
+        rt = self.rt
+        k0 = opacity.compute_opacities(state.base.HI, state.base.HeI,
+                                       state.base.HeII, rt.opacity_coef)
+        lv_k = [opacity.compute_opacities(
+            lv.fields.HI, lv.fields.HeI, lv.fields.HeII, rt.opacity_coef)
+            for lv in state.levels]
+        j0, jbs = sweep_sparse.diffuse_sweep_sparse(
+            k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
+            rt.geom.cell_size)
+        return dataclasses.replace(
+            state,
+            base=dataclasses.replace(state.base, Jmean=j0),
+            levels=tuple(
+                dataclasses.replace(lv, fields=dataclasses.replace(
+                    lv.fields, Jmean=j))
+                for lv, j in zip(state.levels, jbs)))
+
     def _sweep_and_chemistry(self, state):
-        from . import amr_sparse, sweep_sparse
+        if self.rt.config.run_uvb_transfer:
+            state = self._apply_sweep(state)
+        return self._chemistry_and_sync(state)
+
+    def _chemistry_and_sync(self, state):
         rt = self.rt
         cfg = rt.config
-        if cfg.run_uvb_transfer:
-            k0 = opacity.compute_opacities(state.base.HI, state.base.HeI,
-                                           state.base.HeII, rt.opacity_coef)
-            lv_k = [opacity.compute_opacities(
-                lv.fields.HI, lv.fields.HeI, lv.fields.HeII, rt.opacity_coef)
-                for lv in state.levels]
-            j0, jbs = sweep_sparse.diffuse_sweep_sparse(
-                k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
-                rt.geom.cell_size)
-            state = dataclasses.replace(
-                state,
-                base=dataclasses.replace(state.base, Jmean=j0),
-                levels=tuple(
-                    dataclasses.replace(lv, fields=dataclasses.replace(
-                        lv.fields, Jmean=j))
-                    for lv, j in zip(state.levels, jbs)))
-
         kwargs = dict(
             ksi_matrix=rt.ksi_matrix, gamma_thin=rt.gamma_thin,
             self_shielding_threshold=cfg.self_shielding_threshold,
@@ -498,9 +504,34 @@ class SparseMLModel:
         from .amr_sparse import sync_restriction_sparse
         return sync_restriction_sparse(state)
 
-    def make_step(self, stellar=None):
+    def make_step(self, stellar=None, split_compile=False):
         """Compiled block-sparse L-level iteration (tracer keeps its own
-        cache)."""
+        cache).
+
+        split_compile=True compiles the sweep's zone-group scans
+        individually (eager dispatch between them) and the chemistry +
+        restriction tail as one jit — the monolithic whole-step XLA
+        program at the largest deep-AMR configs exceeds what the remote
+        TPU worker tolerates, while the per-piece compiles are fine."""
+        if split_compile:
+            zero = lambda s: dataclasses.replace(
+                s, base=s.base.zero_rates(),
+                levels=tuple(
+                    dataclasses.replace(lv, fields=lv.fields.zero_rates())
+                    for lv in s.levels))
+            chem = jax.jit(self._chemistry_and_sync)
+
+            def step_split(state):
+                state = zero(state)
+                diag = None
+                if stellar is not None:
+                    state, diag = self._traced(state, stellar)
+                if self.rt.config.run_uvb_transfer:
+                    state = self._apply_sweep(state)   # eager: per-group
+                state = chem(state)
+                return (state, diag) if stellar is not None else state
+
+            return step_split
         if stellar is None:
             return jax.jit(lambda s: self.step(s)[0])
         rest = jax.jit(self._sweep_and_chemistry)

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import octants
-from ..geometry.patterns import SEG_NONE, SEG_XZ
+from ..geometry.patterns import SEG_NONE, SEG_XZ, SEG_YZ
 from .sweep import SweepPlan, _tau_eps
 
 # VMEM budget for the per-direction carry planes of one merged launch;
@@ -199,6 +199,31 @@ class _MergedLaunch:
     chains: np.ndarray               # (nslab, D, 2) int32: chain2, chain3
 
 
+def _validate_zone_tables(zone) -> None:
+    """Host-side precondition check of a zone's chain tables before they are
+    baked into SMEM (SURVEY.md §5.2): the kernel addresses SMEM by raw
+    index arithmetic and trusts these invariants completely — a malformed
+    table would read out of contract silently on device.  One-time cost at
+    plan build; raises ValueError with the offending entries."""
+    c2 = np.asarray(zone.chain2)
+    c3 = np.asarray(zone.chain3)
+    na = np.asarray(zone.n_active)
+    lens = np.stack([np.asarray(zone.len_xy), np.asarray(zone.len_xz),
+                     np.asarray(zone.len_yz)])
+    ok_codes = np.isin(c2, (SEG_NONE, SEG_XZ, SEG_YZ)) \
+        & np.isin(c3, (SEG_NONE, SEG_XZ, SEG_YZ))
+    chain_consistent = (1 + (c2 != SEG_NONE) + (c3 != SEG_NONE)) == na
+    dangling = (c3 != SEG_NONE) & (c2 == SEG_NONE)
+    finite = np.isfinite(lens).all(axis=0) & (lens >= 0.0).all(axis=0)
+    bad = ~(ok_codes & chain_consistent & ~dangling & finite)
+    if bad.any():
+        i = tuple(np.argwhere(bad)[0])
+        raise ValueError(
+            f"zone {zone.izone}: malformed chain table at (dir, slab)={i}: "
+            f"chain2={c2[i]} chain3={c3[i]} n_active={na[i]} "
+            f"lens={[float(l[i]) for l in lens]}")
+
+
 def _build_merged_launches(plan: SweepPlan, np_dtype) -> list[_MergedLaunch]:
     """Group the plan's 24 zones into (permutation, slab-order) launches.
 
@@ -220,6 +245,7 @@ def _build_merged_launches(plan: SweepPlan, np_dtype) -> list[_MergedLaunch]:
     for (q, reverse), zones in sorted(groups.items()):
         lens_parts, chain_parts, meta = [], [], []
         for zone, flip_j, flip_k in zones:
+            _validate_zone_tables(zone)
             # pre-select the chain-ordered segment lengths (the kernel
             # addresses lengths by chain position, not by face)
             seg2_len = np.where(zone.chain2 == SEG_XZ, zone.len_xz,

@@ -104,8 +104,7 @@ def main():
     geom = GridGeometry(n, n, n, 1200.0 * KPC)
     rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
     model = step_amr.SparseMLModel.setup(rt, L)
-    step = ((lambda s: model.step(s)[0]) if args.eager
-            else model.make_step())
+    step = model.make_step(split_compile=args.eager)
 
     for i in range(args.steps):
         t0 = time.time()

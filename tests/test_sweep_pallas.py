@@ -31,3 +31,25 @@ def test_pallas_transparent_box():
     np.testing.assert_allclose(
         j, np.asarray(uvb)[:, None, None, None] * np.ones((3, n, n, n)),
         rtol=1e-5)
+
+
+def test_malformed_chain_table_rejected():
+    """Host-side SMEM-table precondition guard (SURVEY.md §5.2 rebuild
+    item): a corrupted chain code must be rejected before it reaches the
+    kernel's raw SMEM index arithmetic."""
+    import dataclasses
+
+    import numpy as np
+    import pytest
+
+    from radiativetransfer_tpu.core import sweep, sweep_pallas
+
+    plan = sweep.build_sweep_plan(1, 8)
+    bad_zone = plan.zones[0]
+    chain2 = np.asarray(bad_zone.chain2).copy()
+    chain2[0, 0] = 7                       # not a segment code
+    bad_zone = dataclasses.replace(bad_zone, chain2=chain2)
+    with pytest.raises(ValueError, match="malformed chain table"):
+        sweep_pallas._validate_zone_tables(bad_zone)
+    for z in plan.zones:                   # real plans pass
+        sweep_pallas._validate_zone_tables(z)
