@@ -243,3 +243,21 @@ class TestStromgrenSphere:
         total_rec = float(np.sum(alpha_b * HII * HII) * geom.cell_volume)
         assert total_ion == pytest.approx(total_rec, rel=0.05)
         assert total_ion < q_ion
+
+
+def test_stromgren_convergence_at_64(tmp_path):
+    """Measured-resolution tightening (VERDICT r2 weak-4): at 64^3 the 3-D
+    front radius matches the 1-D spectral-quadrature oracle to well under a
+    percent (measured r3: err_vol -0.02%, err_half +0.05%; bounds 5x/10x).
+    The 32/64/128 table lives in BASELINE.md (scripts/stromgren_convergence)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "stromgren_convergence",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "stromgren_convergence.py"))
+    strom = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(strom)
+    r = strom.run_one(64, 6, jnp.float32)
+    assert abs(r["err_vol_pct"]) < 0.1, r
+    assert abs(r["err_half_pct"]) < 0.5, r
