@@ -53,6 +53,11 @@ def main(argv=None):
                          "(pipelined = per-slab ppermute halo lines, zones = "
                          "angle decomposition + psum, rdma = in-kernel "
                          "Pallas remote copies)")
+    ap.add_argument("--tracer-strategy", default="",
+                    choices=("", "sources", "domain"),
+                    help="distributed tracer: sources = shard sources + "
+                         "all-gather fields; domain = shard fields + "
+                         "migrate rays (grid can exceed one device's HBM)")
     ap.add_argument("--mesh-shape", default="",
                     help="device mesh for distributed runs, e.g. '8' (1-D) "
                          "or '2,4' (2-D over the last two grid axes); "
@@ -117,6 +122,8 @@ def main(argv=None):
         cfg.sweep_strategy = args.sweep_strategy
     if args.mesh_shape:
         cfg.mesh_shape = tuple(int(x) for x in args.mesh_shape.split(","))
+    if args.tracer_strategy:
+        cfg.tracer_strategy = args.tracer_strategy
     mesh = None
     if cfg.mesh_shape or cfg.sweep_strategy != "auto":
         mesh = pmesh.make_grid_mesh(shape=cfg.mesh_shape or None)

@@ -56,6 +56,10 @@ class RunConfig:
     # parallel.sweep_dist), "zones" (angle decomposition + psum), "rdma"
     # (in-kernel Pallas remote copies, parallel.sweep_rdma)
     sweep_strategy: str = "auto"
+    # "sources": shard sources, all-gather fields (parallel.rays_dist);
+    # "domain": shard fields, migrate rays between shards
+    # (parallel.rays_domain — per-device field memory = the shard)
+    tracer_strategy: str = "sources"
 
     @property
     def self_shielding_threshold(self) -> float:

@@ -366,7 +366,14 @@ class RTModel:
 
         def step(state: FieldState):
             state = state.zero_rates()
-            if mesh is not None:
+            if mesh is not None and self.config.tracer_strategy == "domain":
+                from ..parallel import rays_domain
+                rf, diag = rays_domain.trace_point_sources_domain(
+                    state, self.geom, stellar.sources, stellar.tables, mesh,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.rho.dtype)
+            elif mesh is not None:
                 from ..parallel import rays_dist
                 rf, diag = rays_dist.trace_point_sources_dist(
                     state, self.geom, stellar.sources, stellar.tables, mesh,

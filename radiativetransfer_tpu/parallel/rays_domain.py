@@ -1,0 +1,352 @@
+"""Domain-decomposed point-source ray tracing: exchange RAYS, not fields.
+
+parallel.rays_dist (source parallelism) all-gathers the full grid onto
+every shard, capping grid size at one device's HBM (VERDICT r2 missing-2).
+Here the FIELDS STAY SHARDED (1-D mesh over the last grid axis) and rays
+migrate between shards instead — the TPU analog of particle exchange, and
+the distributed form of drawSegment's locality
+(/root/reference/equiSources.f90:2412-2595: the cell walk only ever touches
+the current cell and its face neighbor).
+
+Protocol (shard_map worker, slots globally aligned):
+* every shard holds the full fixed-size ray buffer; each slot is RESIDENT
+  on exactly one shard (zeros elsewhere), starting with the shard owning
+  the ray's cell;
+* per while-step: first an exchange round — rays whose cell left the local
+  z-range are masked out of the sender and ppermute'd one shard left/right
+  (a ray moves one cell per step, so one hop per step suffices; rays
+  displaced several shards by the split relocation simply wait, migrating
+  one hop per iteration while `local` gates their marching);
+* then the standard march step (identical arithmetic to
+  core.rays._march_phase) on `alive & resident & local` lanes against the
+  LOCAL field block, with deposits scattered into the local RateFields
+  block — no cross-shard reduction needed;
+* per-slot diagnostics accumulate on whichever shard the slot resides;
+  they are disjoint across shards at any instant, so one psum at the end
+  of each phase produces the per-source totals.
+
+Per-device memory: O(grid/P) fields + O(total rays) buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import (
+    COMPLETE_SUBLIMATION,
+    KPC,
+    MAX_PIXEL_LEVEL,
+    NO_DUST,
+    OUTPUT_RADII_KPC,
+    SIGMA24_AT_NU1,
+    SIGMA25_AT_NU3,
+    SIGMA26_AT_NU2,
+    SIGMA_DUST_AT_NU1,
+    rmax_table,
+)
+from ..core import rays as rays_mod
+from ..core.rays import RateFields, RayDiagnostics, SourceBatch
+
+_TAU_KILL = 100.0
+
+
+def _masked_combine(mine, rr, rl, keep, fr, fl):
+    """Disjoint-slot merge: each slot is nonzero in at most one of
+    (kept local, received-from-left, received-from-right)."""
+    def one(m, r, l):
+        km = keep.reshape(keep.shape + (1,) * (m.ndim - 1))
+        rm = fr.reshape(fr.shape + (1,) * (m.ndim - 1))
+        lm = fl.reshape(fl.shape + (1,) * (m.ndim - 1))
+        if m.dtype == jnp.bool_:
+            return (km & m) | (rm & r) | (lm & l)
+        zero = jnp.zeros_like(m)
+        return (jnp.where(km, m, zero) + jnp.where(rm, r, zero)
+                + jnp.where(lm, l, zero))
+    return jax.tree_util.tree_map(one, mine, rr, rl)
+
+
+def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
+                        bnd_acc, rf, r_stop, last_phase, dust_approximation,
+                        max_steps, axis, n_shards, nz_loc):
+    """One phase of the domain-decomposed march (mirrors
+    core.rays._march_phase; the delta is the ownership gating and the
+    per-step ray exchange)."""
+    n = geom.nx
+    cell_size = geom.cell_size
+    dtype = state.ndot.dtype
+    out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
+    R = state.pos.shape[0]
+    idx_shard = jax.lax.axis_index(axis)
+    z0 = idx_shard * nz_loc
+    perm_r = [(i, i + 1) for i in range(n_shards - 1)]
+    perm_l = [(i + 1, i) for i in range(n_shards - 1)]
+    rates_mode = rate_ctx[0]
+
+    def flat_idx(cell):
+        return (cell[:, 0] * n + cell[:, 1]) * nz_loc + (cell[:, 2] - z0)
+
+    def exchange(st, res):
+        zc = st.cell[:, 2]
+        go_r = res & st.alive & (zc >= z0 + nz_loc)
+        go_l = res & st.alive & (zc < z0)
+        keep = res & ~go_r & ~go_l
+
+        def send(x, go, perm):
+            m = go.reshape(go.shape + (1,) * (x.ndim - 1))
+            if x.dtype == jnp.bool_:
+                sent = m & x
+            else:
+                sent = jnp.where(m, x, jnp.zeros_like(x))
+            return jax.lax.ppermute(sent, axis, perm)
+
+        rr = jax.tree_util.tree_map(lambda x: send(x, go_r, perm_r), st)
+        rl = jax.tree_util.tree_map(lambda x: send(x, go_l, perm_l), st)
+        fr = jax.lax.ppermute(go_r, axis, perm_r)
+        fl = jax.lax.ppermute(go_l, axis, perm_l)
+        st = _masked_combine(st, rr, rl, keep, fr, fl)
+        return st, keep | fr | fl
+
+    def step(carry):
+        state, resident, rem_acc, bnd_acc, rf, it, _ = carry
+        state, resident = exchange(state, resident)
+        zc = state.cell[:, 2]
+        local = (zc >= z0) & (zc < z0 + nz_loc)
+        active = state.alive & resident & local
+
+        d = state.direction
+        d_safe = jnp.where(jnp.abs(d) < 1e-12,
+                           jnp.where(d < 0, -1e-12, 1e-12), d)
+        bound = (state.cell + (d_safe > 0.0)) / n
+        t_ax = (bound - state.pos) / d_safe
+        t_min = jnp.maximum(jnp.min(t_ax, axis=1), 0.0)
+        exit_axis = jnp.argmin(t_ax, axis=1)
+        seg_cells = t_min * n
+
+        radius_new = state.radius + seg_cells
+        if last_phase:
+            will_split = jnp.zeros_like(state.alive)
+            cut = jnp.zeros_like(state.alive)
+        else:
+            will_split = radius_new >= r_stop
+            cut = will_split
+            seg_cells = jnp.where(cut, jnp.maximum(r_stop - state.radius,
+                                                   0.0), seg_cells)
+            radius_new = state.radius + seg_cells
+            t_min = seg_cells / n
+
+        plen = seg_cells * cell_size
+        lidx = jnp.clip(flat_idx(state.cell), 0, n * n * nz_loc - 1)
+        fv = fields_pk[lidx]
+        hi, hei, heii = fv[:, 0], fv[:, 1], fv[:, 2]
+        tau1 = plen * hi * SIGMA24_AT_NU1
+        tau2 = plen * hei * SIGMA26_AT_NU2
+        tau3 = plen * heii * SIGMA25_AT_NU3
+        if dust_approximation == NO_DUST:
+            taud = jnp.zeros_like(tau1)
+        elif dust_approximation == COMPLETE_SUBLIMATION:
+            taud = plen * hi * SIGMA_DUST_AT_NU1 * fv[:, 4] / 0.2
+        else:
+            taud = plen * fv[:, 3] * SIGMA_DUST_AT_NU1 * fv[:, 4] / 0.2
+        tau = jnp.stack([tau1, tau2, tau3, taud], axis=1)
+        tau = jnp.where(active[:, None], jnp.maximum(tau, 0.0), 0.0)
+        tau1, tau2, tau3, taud = tau[:, 0], tau[:, 1], tau[:, 2], tau[:, 3]
+        plen = jnp.where(active, plen, 0.0)
+
+        # escape-fraction bookkeeping (on the resident shard only)
+        r1 = state.radius * cell_size
+        r2 = radius_new * cell_size
+        in_seg = ((out_radii[None, :] >= r1[:, None])
+                  & (out_radii[None, :] <= r2[:, None]) & active[:, None])
+        ratio = jnp.where(in_seg,
+                          (out_radii[None, :] - r1[:, None])
+                          / jnp.maximum((r2 - r1)[:, None], 1e-30), 0.0)
+        esc = state.ndot[:, None] * jnp.exp(
+            -(ratio * (tau1 + taud)[:, None]
+              + (state.depth[:, 0] + state.depth[:, 3])[:, None]))
+        rem_acc = rem_acc + jnp.where(in_seg, esc, 0.0)
+        crossing = in_seg[:, -1] & ~state.crossed
+        cross_depth = jnp.where(crossing[:, None],
+                                state.depth + ratio[:, -1:] * tau,
+                                state.cross_depth)
+        crossed = state.crossed | crossing
+
+        # deposits into the LOCAL field block
+        w = jnp.where(active, state.ndot, 0.0)
+        d0 = state.depth
+        quad_A, quad_W = rate_ctx[1][:2]
+        dtau = jnp.stack([tau1, tau2, tau3], axis=1)
+        deposit = rays_mod._deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                               state.table_idx, w)
+        rf = type(rf)(*(
+            getattr(rf, f.name).at[lidx].add(v)
+            for f, v in zip(dataclasses.fields(rf), deposit)))
+
+        # advance
+        depth_new = state.depth + tau
+        pos_new = state.pos + t_min[:, None] * d
+        step_dir = jnp.where(d_safe > 0, 1, -1).astype(state.cell.dtype)
+        hop = jax.nn.one_hot(exit_axis, 3, dtype=state.cell.dtype) * step_dir
+        cell_new = jnp.where(cut[:, None], state.cell, state.cell + hop)
+        face = jnp.take_along_axis(bound, exit_axis[:, None], axis=1)[:, 0]
+        pos_new = jnp.where((jnp.arange(3)[None, :] == exit_axis[:, None])
+                            & ~cut[:, None], face[:, None], pos_new)
+
+        out_of_box = jnp.any((cell_new < 0) | (cell_new >= n), axis=1) & ~cut
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+
+        hit_boundary = active & out_of_box
+        beyond = out_radii[None, :] > r2[:, None]
+        bnd_acc = bnd_acc + jnp.where(beyond & hit_boundary[:, None],
+                                      state.ndot[:, None], 0.0)
+
+        alive_new = jnp.where(active,
+                              ~out_of_box & ~killed_tau & ~will_split,
+                              state.alive)
+        split_new = state.split | (active & will_split & ~killed_tau)
+
+        state = dataclasses.replace(
+            state, pos=jnp.where(active[:, None], pos_new, state.pos),
+            cell=jnp.where(active[:, None], cell_new, state.cell),
+            radius=jnp.where(active, radius_new, state.radius),
+            depth=jnp.where(active[:, None], depth_new, state.depth),
+            alive=alive_new, split=split_new,
+            crossed=crossed, cross_depth=cross_depth)
+        any_alive = jax.lax.psum(
+            jnp.any(state.alive & resident).astype(jnp.int32), axis) > 0
+        return state, resident, rem_acc, bnd_acc, rf, it + 1, any_alive
+
+    def cond(carry):
+        return carry[6] & (carry[5] < max_steps)
+
+    carry = (state, resident, rem_acc, bnd_acc, rf, jnp.int32(0),
+             jnp.bool_(True))
+    state, resident, rem_acc, bnd_acc, rf, _, _ = jax.lax.while_loop(
+        cond, step, carry)
+    return state, resident, rem_acc, bnd_acc, rf
+
+
+def trace_point_sources_domain(state_fields, geom, sources: SourceBatch,
+                               tables, mesh: Mesh,
+                               dust_approximation: int = NO_DUST,
+                               max_pixel_level: int = MAX_PIXEL_LEVEL,
+                               dtype=jnp.float32):
+    """Domain-decomposed analog of core.rays.trace_point_sources
+    (quadrature rates; 1-D mesh over the last grid axis).
+
+    Returns (RateFields with the (None, None, axis) grid sharding,
+    RayDiagnostics (replicated)).  Per-device field memory is the SHARD,
+    not the grid."""
+    axis = mesh.axis_names[-1]
+    if len(mesh.axis_names) != 1:
+        raise ValueError("rays_domain needs a 1-D mesh")
+    n_shards = int(np.prod(mesh.devices.shape))
+    n = geom.nx
+    assert n % n_shards == 0
+    nz_loc = n // n_shards
+
+    fields = {
+        "HI": state_fields.HI.astype(dtype),
+        "HeI": state_fields.HeI.astype(dtype),
+        "HeII": state_fields.HeII.astype(dtype),
+        "nH": state_fields.nh.astype(dtype),
+        "abun2": state_fields.abun2.astype(dtype),
+    }
+    quad = (jnp.asarray(tables["quad_A"], dtype),
+            jnp.asarray(tables["quad_W"], dtype))
+    sig_ratio = jnp.stack([
+        jnp.asarray(tables["output_sigma24"], dtype) / SIGMA24_AT_NU1,
+        jnp.asarray(tables["output_sigma26"], dtype) / SIGMA26_AT_NU2,
+        jnp.asarray(tables["output_sigma25"], dtype) / SIGMA25_AT_NU3,
+        jnp.asarray(tables["output_sigma_dust"], dtype) / SIGMA_DUST_AT_NU1,
+    ])
+
+    init_state = rays_mod._spawn_phase(sources, 1, dtype)
+    init_state = dataclasses.replace(
+        init_state,
+        cell=jnp.clip((init_state.pos * n).astype(jnp.int32), 0, n - 1))
+    n_sources = sources.n_sources
+    rmax = rmax_table()
+
+    def worker(fields, init_state, quad, sig_ratio):
+        fields_pk = rays_mod._pack_fields(
+            *(fields[k].reshape(-1) for k in
+              ("HI", "HeI", "HeII", "nH", "abun2")))
+        rate_ctx = ("quadrature", quad)
+        rf = RateFields(*[jnp.zeros(n * n * nz_loc, dtype)
+                          for _ in range(6)])
+        diag = RayDiagnostics.zeros(n_sources, dtype)
+        state = init_state
+        z0 = jax.lax.axis_index(axis) * nz_loc
+        resident = (state.cell[:, 2] >= z0) & (state.cell[:, 2] < z0 + nz_loc)
+        # zero out non-resident slots so the disjoint-merge invariant holds
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.where(
+                resident.reshape(resident.shape + (1,) * (x.ndim - 1)),
+                x, jnp.zeros_like(x)), state)
+
+        for level in range(1, max_pixel_level + 1):
+            last = level == max_pixel_level
+            r_stop = rmax[level - 1]
+            # + n_shards slack: migration-only iterations don't advance rays
+            max_steps = (int(12 * n + 64) if last
+                         else int(6 * (r_stop + 2) + 32)) + n_shards
+            rays_per_source = 12 * 4 ** (level - 1)
+            src_of_ray = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32),
+                                    rays_per_source)
+            R = state.pos.shape[0]
+            out_radii_n = len(OUTPUT_RADII_KPC)
+            rem = jnp.zeros((R, out_radii_n), dtype)
+            bnd = jnp.zeros((R, out_radii_n), dtype)
+            state, resident, rem, bnd, rf = _march_phase_domain(
+                state, resident, fields_pk, geom, rate_ctx, rem, bnd, rf,
+                r_stop, last, dust_approximation, max_steps, axis,
+                n_shards, nz_loc)
+            diag = dataclasses.replace(
+                diag,
+                ndot_remaining=diag.ndot_remaining.at[src_of_ray].add(rem),
+                ndot_boundary=diag.ndot_boundary.at[src_of_ray].add(bnd))
+            spec_tau = state.cross_depth @ sig_ratio
+            contrib = jnp.where((state.crossed & resident)[:, None],
+                                state.ndot[:, None] * jnp.exp(-spec_tau),
+                                0.0)
+            diag = dataclasses.replace(
+                diag, ndot_spectrum=diag.ndot_spectrum.at[src_of_ray].add(
+                    contrib))
+            state = dataclasses.replace(
+                state, crossed=jnp.zeros_like(state.crossed))
+            if not last:
+                state, in_box, was_split = rays_mod._split_rays(
+                    state, level, n, dtype)
+                resident = jnp.repeat(resident, 4)
+                lost = was_split & ~in_box & resident
+                out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC,
+                                        dtype)
+                r2 = state.radius * geom.cell_size
+                beyond = out_radii[None, :] > r2[:, None]
+                src4 = jnp.repeat(src_of_ray, 4)
+                diag = dataclasses.replace(
+                    diag, ndot_boundary=diag.ndot_boundary
+                    .at[src4].add(jnp.where(beyond & lost[:, None],
+                                            state.ndot[:, None], 0.0)))
+
+        # per-slot accumulators were disjoint across shards at all times
+        diag = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), diag)
+        rf = jax.tree_util.tree_map(lambda x: x.reshape(n, n, nz_loc), rf)
+        return rf, diag
+
+    field_spec = P(None, None, axis)
+    mapped = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=({k: field_spec for k in fields}, P(), P(), P()),
+        out_specs=(jax.tree_util.tree_map(lambda _: field_spec,
+                                          RateFields(*([0] * 6))),
+                   P()),
+        check_vma=False)
+    rf, diag = jax.jit(mapped)(fields, init_state, quad, sig_ratio)
+    return rf, diag

@@ -312,6 +312,72 @@ class TestMeshGeneralization:
 
 
 @needs_devices
+class TestDomainDecomposedRays:
+    """Domain-decomposed tracer (VERDICT r2 missing-2): fields stay
+    sharded, rays migrate via per-step ppermute; parity vs the
+    single-device tracer, and per-device field memory = the shard."""
+
+    def _setup(self, n=16, mpl=4):
+        from radiativetransfer_tpu.constants import MYR
+        from radiativetransfer_tpu.core import rays
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        cfg = RunConfig(mode=8, current_redshift=6.55, n_angular_level=1,
+                        reionization_model=10, grid="dom")
+        geom = GridGeometry(n, n, n, 100.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        state = rt.initialize_equilibrium(
+            uniform_state(n, nh=1e-4, tgas=2e4, dtype=jnp.float64))
+        rng = np.random.default_rng(3)
+        batch = rays.SourceBatch(position=rng.uniform(0.2, 0.8, (5, 3)),
+                                 weight=np.ones(5),
+                                 table_idx=np.zeros(5, np.int32))
+        ctx = step_mod.StellarContext.build(
+            stellar_tables.blackbody_population(), batch, geom, 10.0 * MYR,
+            metal_coefs=[(0, 0.0)], max_pixel_level=mpl)
+        return rt, geom, state, ctx
+
+    def test_matches_single_device(self):
+        from radiativetransfer_tpu.core import rays
+        from radiativetransfer_tpu.parallel import rays_domain
+        rt, geom, state, ctx = self._setup()
+        rf_s, diag_s = rays.trace_point_sources(
+            state, geom, ctx.sources, ctx.tables, max_pixel_level=4,
+            dtype=jnp.float64, rates_mode="quadrature")
+        mesh = pmesh.make_grid_mesh(8)
+        rf_d, diag_d = rays_domain.trace_point_sources_domain(
+            pmesh.shard_state(state, mesh), geom, ctx.sources, ctx.tables,
+            mesh, max_pixel_level=4, dtype=jnp.float64)
+        n = geom.nx
+        np.testing.assert_allclose(
+            np.asarray(rf_d.krate24),
+            np.asarray(rf_s.krate24).reshape(n, n, n), rtol=1e-12,
+            atol=1e-300)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_s.ndot_remaining),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_spectrum),
+                                   np.asarray(diag_s.ndot_spectrum),
+                                   rtol=1e-12)
+        # the deposits carry the sharded-fields decomposition
+        assert len(rf_d.krate24.sharding.device_set) == 8
+
+    def test_through_production_step(self):
+        import dataclasses as dc
+        rt, geom, state, ctx = self._setup()
+        out_ref, diag_ref = rt.make_step(ctx)(state)
+        mesh = pmesh.make_grid_mesh(8)
+        rt_d = dc.replace(rt, config=dc.replace(rt.config,
+                                                tracer_strategy="domain"))
+        out_d, diag_d = rt_d.make_step(ctx, mesh=mesh)(
+            pmesh.shard_state(state, mesh))
+        np.testing.assert_allclose(np.asarray(out_d.HI),
+                                   np.asarray(out_ref.HI), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_ref.ndot_remaining),
+                                   rtol=1e-12)
+
+
+@needs_devices
 class TestShardedAMR:
     """Sharded two-level AMR step (VERDICT round-1 item 8): the AMR sweep,
     tracer, and chemistry on the 8-device mesh must match single-device."""
