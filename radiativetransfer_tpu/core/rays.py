@@ -50,6 +50,17 @@ from ..constants import (
 from ..geometry import healpix
 
 _TAU_KILL = 100.0  # early ray termination (equiSources.f90:3241)
+# f32 default: beyond tau=30 every band's transmission e^-tau < 1e-13 is
+# below float32 resolution of any accumulated rate, so the reference's
+# conservative 100 (a float64-era bound) triples the marching distance of
+# rays in neutral gas for deposits that round to zero.  Measured: the
+# f64 rate fields at kill=30 vs kill=100 agree to ~e^-30 relative
+# (tests/test_rays.py::test_tau_kill_f32_equivalence).
+_TAU_KILL_F32 = 30.0
+
+
+def default_tau_kill(dtype) -> float:
+    return _TAU_KILL if jnp.dtype(dtype).itemsize >= 8 else _TAU_KILL_F32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,20 +163,39 @@ _ACTIVE_FIELDS = {1: (0, 3), 2: (0, 3, 2, 5), 3: (0, 1, 2, 3, 4, 5)}
 def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
                  diag: RayDiagnostics, rf: RateFields, r_stop: float,
                  last_phase: bool, dust_approximation: int, max_steps: int,
-                 src_of_ray, n_bands: int = 3):
+                 src_of_ray, n_bands: int = 3, tau_kill: float = _TAU_KILL,
+                 unroll: int = 1, rel_kill: float = 0.0):
     """March all rays of one phase until they die or reach r_stop.
 
     fields_pk: packed (n^3, 5) array [HI, HeI, HeII, nH, abun2].
     rate_ctx: ("table", table_flat) or ("quadrature", (quad_A, quad_W)).
 
     Per-step tuning, from measured TPU costs (the tracer is random-access
-    bound, not FLOP bound): per-cell scalars come back in one row gather;
-    in table mode the 4 attenuation states (entry + 3 advanced channels)
-    interpolate in ONE batched row-gather call (row gathers are ~25x
-    faster than per-channel scalar gathers on TPU); deposits scatter as 6
-    SCALAR scatter-adds (measured 2.4x faster than one 6-column row
-    scatter); the escape-fraction/boundary diagnostics accumulate in
-    per-ray carry buffers reduced to per-source totals once per phase.
+    bound, not FLOP bound; scripts/roofline_tracer.py): per-cell scalars
+    come back in one row gather; in table mode the 4 attenuation states
+    (entry + 3 advanced channels) interpolate in ONE batched row-gather
+    call (row gathers are ~25x faster than per-channel scalar gathers on
+    TPU); the escape-fraction/boundary diagnostics accumulate in per-ray
+    carry buffers reduced to per-source totals once per phase.
+
+    unroll: march steps per while-loop body.  Each while iteration costs
+    ~0.5 ms of fixed dispatch overhead on the tunneled TPU regardless of
+    body size, and each scatter-add call carries ~0.2 ms of fixed cost on
+    top of its ~7 ns/row; unrolling U steps per body and concatenating
+    the U deposit batches into ONE scatter-add per channel amortizes
+    both (the deposit sums are order-insensitive up to f32 rounding).
+
+    rel_kill (quadrature modes only): kill a ray when its remaining
+    depositable weight over the WHOLE surviving spectrum, rem = e0 @ wsum
+    with e0 = exp(-depth @ A), drops below rel_kill of its undepleted
+    value.  The reference's kill min(tau1,tau2,tau3) > 100
+    (equiSources.f90:3241) never fires when one threshold species is
+    absent (e.g. HeII ~ 0 keeps tau3 ~ 0) even though every frequency of
+    the ray's spectrum is extinct through the sigma(nu) tails of the
+    OTHER species — such rays march to the box wall depositing exact
+    zeros.  rem tracks the true attenuated spectrum, so rel_kill = 1e-10
+    terminates rays whose remaining deposits are below f32 resolution of
+    their own scale.  0 disables (reference parity semantics).
     """
     n = geom.nx
     cell_size = geom.cell_size
@@ -176,12 +206,19 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
     bnd_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
 
     rates_mode = rate_ctx[0]
+    use_rem_kill = rates_mode.startswith("quadrature") and rel_kill > 0.0
+    if use_rem_kill:
+        # spectral weight envelope: the largest |W| any bucket/channel
+        # assigns to each frequency; rem = e0 @ wsum bounds every
+        # channel's remaining deposit for every bucket
+        quad_A = rate_ctx[1][0]
+        wsum = jnp.max(jnp.sum(jnp.abs(rate_ctx[1][1]), axis=2), axis=0)
+        rem_floor = rel_kill * jnp.sum(wsum)
 
     def flat_idx(cell):
         return (cell[:, 0] * n + cell[:, 1]) * n + cell[:, 2]
 
-    def step(carry):
-        state, rem_acc, bnd_acc, rf, it = carry
+    def substep(state, rem_acc, bnd_acc):
         d = state.direction
         d_safe = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
         # distance to the exit face along each axis (drawSegment,
@@ -278,22 +315,13 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
         else:
             quad_A, quad_W = rate_ctx[1][:2]
             dtau = jnp.stack([tau1, tau2, tau3], axis=1)
-            deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
-                                          state.table_idx, w, n_bands)
+            dq = _deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                     state.table_idx, w, n_bands,
+                                     wsum=wsum if use_rem_kill else None)
+            deposit, rem = dq if use_rem_kill else (dq, None)
             if rates_mode == "quadrature_noneq":
                 deposit = deposit + _deposit_noneq(
                     d0, quad_A, rate_ctx[1][2], state.table_idx, w, plen)
-        # each scalar scatter-add costs ~0.65 ms/iter at 98k rays, so only
-        # the statically-active band channels issue one (H-only runs cut
-        # the deposit cost 3x via n_bands=1)
-        active_ch = _ACTIVE_FIELDS[n_bands]
-        if rates_mode == "quadrature_noneq":
-            active_ch = active_ch + (6, 7, 8, 9, 10)
-        rf = type(rf)(*(
-            getattr(rf, f.name).at[idx].add(v) if fi in active_ch
-            else getattr(rf, f.name)
-            for fi, (f, v) in enumerate(zip(dataclasses.fields(rf),
-                                            deposit))))
 
         # ---- advance ----
         depth_new = state.depth + tau
@@ -309,7 +337,11 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n), axis=1) & ~cut
         # kill on the THREE ionization depths only (equiSources.f90:3241);
         # the dust depth stays 0 with dust off and must not veto the kill
-        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > tau_kill
+        if use_rem_kill:
+            # spectrum-exhaustion kill: the entry-depth remaining weight
+            # already sits below the floor (see docstring)
+            killed_tau = killed_tau | (rem < rem_floor)
 
         # boundary accounting (equiSources.f90:3228-3233)
         hit_boundary = active & out_of_box
@@ -327,14 +359,40 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
             depth=jnp.where(active[:, None], depth_new, state.depth),
             alive=alive_new, split=split_new,
             crossed=crossed, cross_depth=cross_depth)
-        return state, rem_acc, bnd_acc, rf, it + 1
+        return state, rem_acc, bnd_acc, idx, deposit
+
+    # only the statically-active band channels issue a scatter (H-only
+    # runs cut the deposit scatters 3x via n_bands=1)
+    active_ch = _ACTIVE_FIELDS[n_bands]
+    if rates_mode == "quadrature_noneq":
+        active_ch = active_ch + (6, 7, 8, 9, 10)
+
+    def body(carry):
+        state, rem_acc, bnd_acc, rf, it = carry
+        idxs, deps = [], []
+        for _ in range(unroll):
+            state, rem_acc, bnd_acc, idx, dep = substep(state, rem_acc,
+                                                        bnd_acc)
+            idxs.append(idx)
+            deps.append(dep)
+        cat_idx = jnp.concatenate(idxs) if unroll > 1 else idxs[0]
+        new_fields = []
+        for fi, f in enumerate(dataclasses.fields(rf)):
+            buf = getattr(rf, f.name)
+            if fi in active_ch:
+                v = (jnp.concatenate([d[fi] for d in deps])
+                     if unroll > 1 else deps[0][fi])
+                buf = buf.at[cat_idx].add(v)
+            new_fields.append(buf)
+        rf = type(rf)(*new_fields)
+        return state, rem_acc, bnd_acc, rf, it + unroll
 
     def cond(carry):
         state, _, _, _, it = carry
         return jnp.any(state.alive) & (it < max_steps)
 
     state, rem_acc, bnd_acc, rf, _ = jax.lax.while_loop(
-        cond, step, (state, rem_acc0, bnd_acc0, rf, jnp.int32(0)))
+        cond, body, (state, rem_acc0, bnd_acc0, rf, jnp.int32(0)))
     diag = dataclasses.replace(
         diag,
         ndot_remaining=diag.ndot_remaining.at[src_of_ray].add(rem_acc),
@@ -342,7 +400,8 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
     return state, diag, rf
 
 
-def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w, n_bands=3):
+def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w, n_bands=3,
+                        wsum=None):
     """Deposit diffs by direct spectral quadrature (no table gathers).
 
     rate_c(tau) = sum_f W[b, f, c] exp(-tau . A[:, f])  exactly as the 4-D
@@ -355,6 +414,11 @@ def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w, n_bands=3):
     by mask.  d0: (R, 4); dtau: (R, 3); quad_A: (4, F); quad_W: (B, F, 6);
     w: (R,) ray weights.  Returns the 6 deposit arrays in RateFields order
     [krate24, krate25, krate26, crate24, crate25, crate26].
+
+    wsum: optional (F,) spectral weight envelope; when given, also returns
+    rem = e0 @ wsum, the ray's remaining depositable weight over its whole
+    surviving spectrum (used for the f32 precision kill — see
+    _march_phase).
     """
     e0 = jnp.exp(-(d0 @ quad_A))                     # (R, F)
     B = quad_W.shape[0]
@@ -374,8 +438,11 @@ def _deposit_quadrature(d0, dtau, quad_A, quad_W, table_idx, w, n_bands=3):
                 num = num + jnp.where(sel, num_b, 0.0)
                 heat = heat + jnp.where(sel, heat_b, 0.0)
         out[j] = (w * num, w * heat)
-    return (out[0][0], out[2][0], out[1][0],
-            out[0][1], out[2][1], out[1][1])
+    deposit = (out[0][0], out[2][0], out[1][0],
+               out[0][1], out[2][1], out[1][1])
+    if wsum is not None:
+        return deposit, e0 @ wsum
+    return deposit
 
 
 def _deposit_noneq(d0, quad_A, quad_W27, table_idx, w, plen):
@@ -529,11 +596,19 @@ def _split_rays(state: _RayState, level: int, n: int, dtype,
 def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                       n_sources: int, dust_approximation: int,
                       max_pixel_level: int, dtype, rates_mode: str = "table",
-                      n_bands: int = 3):
+                      n_bands: int = 3, tau_kill: float | None = None,
+                      unroll: int = 8, rel_kill: float | None = None):
     """All phases of the trace; pure function of arrays, jitted via
     _get_tracer (the phase loop unrolls at trace time)."""
     n = geom.nx
     rmax = rmax_table()
+    if tau_kill is None:
+        tau_kill = default_tau_kill(dtype)
+    if rel_kill is None:
+        # f32: terminate rays whose whole remaining spectrum deposits
+        # below 1e-10 of their undepleted scale; f64 keeps the exact
+        # reference semantics for the parity oracles
+        rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
     diag = RayDiagnostics.zeros(n_sources, dtype)
     fields_pk = _pack_fields(fields["HI"], fields["HeI"], fields["HeII"],
                              fields["nH"], fields["abun2"])
@@ -570,7 +645,9 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                                 rays_per_source)
         state, diag, rf = _march_phase(
             state, fields_pk, geom, rate_ctx, diag, rf, r_stop, last,
-            dust_approximation, max_steps, src_of_ray, n_bands)
+            dust_approximation, max_steps, src_of_ray, n_bands,
+            tau_kill=tau_kill, unroll=max(1, min(unroll, max_steps)),
+            rel_kill=rel_kill)
 
         # emergent spectrum from this phase's outer-radius crossings
         # (equiSources.f90:3206-3223)
@@ -602,17 +679,21 @@ _TRACER_CACHE: dict = {}
 
 
 def _get_tracer(geom, n_sources: int, dust_approximation: int,
-                max_pixel_level: int, dtype, rates_mode: str, n_bands: int):
+                max_pixel_level: int, dtype, rates_mode: str, n_bands: int,
+                tau_kill: float | None = None, unroll: int = 8,
+                rel_kill: float | None = None):
     """Compiled tracer, cached on the static configuration so repeated
     iterations reuse the executable."""
     key = (geom, n_sources, dust_approximation, max_pixel_level,
-           jnp.dtype(dtype).name, rates_mode, n_bands)
+           jnp.dtype(dtype).name, rates_mode, n_bands, tau_kill, unroll,
+           rel_kill)
     if key not in _TRACER_CACHE:
         _TRACER_CACHE[key] = jax.jit(
             partial(_trace_all_phases, geom=geom, n_sources=n_sources,
                     dust_approximation=dust_approximation,
                     max_pixel_level=max_pixel_level, dtype=dtype,
-                    rates_mode=rates_mode, n_bands=n_bands))
+                    rates_mode=rates_mode, n_bands=n_bands,
+                    tau_kill=tau_kill, unroll=unroll, rel_kill=rel_kill))
     return _TRACER_CACHE[key]
 
 
@@ -620,7 +701,8 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
                         dust_approximation: int = NO_DUST,
                         max_pixel_level: int = MAX_PIXEL_LEVEL,
                         dtype=jnp.float64, rates_mode: str = "auto",
-                        n_bands: int = 3):
+                        n_bands: int = 3, tau_kill: float | None = None,
+                        unroll: int = 8, rel_kill: float | None = None):
     """Trace all sources; returns (RateFields on the grid, RayDiagnostics).
 
     state_fields: FieldState (dense (n,n,n) fields).
@@ -642,6 +724,11 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
     n_bands (quadrature mode): number of frequency bands whose rate
     channels are deposited (1 = H-only runs, e.g. the Stromgren
     configuration — cuts the deposit scatters from 6 to 2).
+
+    tau_kill: early-termination optical depth (None = dtype default:
+    100 in f64 as the reference, 30 in f32 where e^-30 is already below
+    float accumulation resolution).  unroll: march steps per while-loop
+    body (amortizes per-iteration dispatch and scatter fixed costs).
     """
     if rates_mode == "auto":
         rates_mode = "quadrature" if "quad_A" in tables else "table"
@@ -658,7 +745,8 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
         state, cell=jnp.clip((state.pos * n).astype(jnp.int32), 0, n - 1))
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
     tracer = _get_tracer(geom, sources.n_sources, dust_approximation,
-                         max_pixel_level, dtype, rates_mode, n_bands)
+                         max_pixel_level, dtype, rates_mode, n_bands,
+                         tau_kill, unroll, rel_kill)
     return tracer(fields, state, tables_dev)
 
 

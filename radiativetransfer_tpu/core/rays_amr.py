@@ -59,7 +59,8 @@ _TAU_KILL = 100.0
 def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
                      diag: RayDiagnostics, rfb: RateFields, rff: RateFields,
                      r_stop: float, last_phase: bool,
-                     dust_approximation: int, max_steps: int, src_of_ray):
+                     dust_approximation: int, max_steps: int, src_of_ray,
+                     rel_kill: float = 0.0):
     """March one phase on a two-level grid.
 
     state.cell holds FINE (2n-grid) indices; fields holds packed per-level
@@ -77,6 +78,11 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
     rem_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
     bnd_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
     rates_mode = rate_ctx[0]
+    # spectrum-exhaustion kill (see core.rays._march_phase)
+    use_rem_kill = rates_mode.startswith("quadrature") and rel_kill > 0.0
+    if use_rem_kill:
+        wsum = jnp.max(jnp.sum(jnp.abs(rate_ctx[1][1]), axis=2), axis=0)
+        rem_floor = rel_kill * jnp.sum(wsum)
 
     def flat_base(cb):
         return (cb[:, 0] * n + cb[:, 1]) * n + cb[:, 2]
@@ -192,8 +198,10 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
         else:
             quad_A, quad_W = rate_ctx[1]
             dtau = jnp.stack([tau1, tau2, tau3], axis=1)
-            deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
-                                          state.table_idx, w)
+            dq = _deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                     state.table_idx, w,
+                                     wsum=wsum if use_rem_kill else None)
+            deposit, rem = dq if use_rem_kill else (dq, None)
 
         # deposit into the traversed leaf's level: 6 scalar scatter-adds
         # per level, zero-weighted on the other level
@@ -230,6 +238,8 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n2), axis=1) & ~cut
         # kill on the THREE ionization depths only (equiSources.f90:3241)
         killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        if use_rem_kill:
+            killed_tau = killed_tau | (rem < rem_floor)
 
         hit_boundary = active & out_of_box
         beyond = out_radii[None, :] > r2[:, None]
@@ -263,8 +273,11 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
 
 def _trace_all_phases_amr(fields, init_state, tables, geom, n_sources,
                           dust_approximation, max_pixel_level, dtype,
-                          rates_mode: str = "table"):
+                          rates_mode: str = "table",
+                          rel_kill: float | None = None):
     n = geom.nx
+    if rel_kill is None:
+        rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
     n2 = 2 * n
     rmax = rmax_table()
     diag = RayDiagnostics.zeros(n_sources, dtype)
@@ -302,7 +315,8 @@ def _trace_all_phases_amr(fields, init_state, tables, geom, n_sources,
                                 rays_per_source)
         state, diag, rfb, rff = _march_phase_amr(
             state, fields_pk, geom, rate_ctx, diag, rfb, rff,
-            r_stop, last, dust_approximation, max_steps, src_of_ray)
+            r_stop, last, dust_approximation, max_steps, src_of_ray,
+            rel_kill=rel_kill)
 
         spec_tau = state.cross_depth @ sig_ratio
         contrib = jnp.where(state.crossed[:, None],

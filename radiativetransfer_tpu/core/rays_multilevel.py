@@ -109,7 +109,8 @@ def _make_addr(fields, n: int, L: int):
 
 def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
                     rfs, r_stop: float, last_phase: bool,
-                    dust_approximation: int, max_steps: int, src_of_ray):
+                    dust_approximation: int, max_steps: int, src_of_ray,
+                    rel_kill: float = 0.0):
     """March one phase on an L-level grid.
 
     state.cell holds FINEST-grid indices; fields: dict with per-level packed
@@ -129,6 +130,13 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
     bnd_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
     rates_mode = rate_ctx[0]
     inv2 = jnp.asarray(0.5 ** np.arange(L), dtype)
+    # spectrum-exhaustion kill (see core.rays._march_phase): terminate
+    # rays whose whole remaining spectrum deposits below rel_kill of
+    # their undepleted scale
+    use_rem_kill = rates_mode.startswith("quadrature") and rel_kill > 0.0
+    if use_rem_kill:
+        wsum = jnp.max(jnp.sum(jnp.abs(rate_ctx[1][1]), axis=2), axis=0)
+        rem_floor = rel_kill * jnp.sum(wsum)
 
     flat_at, leaf_level = _make_addr(fields, n, L)
 
@@ -235,8 +243,10 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
         else:
             quad_A, quad_W = rate_ctx[1][:2]
             dtau = jnp.stack([tau1, tau2, tau3], axis=1)
-            deposit = _deposit_quadrature(d0, dtau, quad_A, quad_W,
-                                          state.table_idx, w)
+            dq = _deposit_quadrature(d0, dtau, quad_A, quad_W,
+                                     state.table_idx, w,
+                                     wsum=wsum if use_rem_kill else None)
+            deposit, rem = dq if use_rem_kill else (dq, None)
             if rates_mode == "quadrature_noneq":
                 deposit = deposit + _deposit_noneq(
                     d0, quad_A, rate_ctx[1][2], state.table_idx, w, plen)
@@ -270,6 +280,8 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= nF), axis=1) & ~cut
         killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        if use_rem_kill:
+            killed_tau = killed_tau | (rem < rem_floor)
 
         hit_boundary = active & out_of_box
         beyond = out_radii[None, :] > r2[:, None]
@@ -303,8 +315,11 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
 
 def _trace_all_phases_ml(fields, init_state, tables, geom, n_levels,
                          n_sources, dust_approximation, max_pixel_level,
-                         dtype, rates_mode: str = "quadrature"):
+                         dtype, rates_mode: str = "quadrature",
+                         rel_kill: float | None = None):
     n = geom.nx
+    if rel_kill is None:
+        rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
     nF = n * 2 ** (n_levels - 1)
     rmax = rmax_table()
     diag = RayDiagnostics.zeros(n_sources, dtype)
@@ -346,7 +361,8 @@ def _trace_all_phases_ml(fields, init_state, tables, geom, n_levels,
                                 rays_per_source)
         state, diag, rfs = _march_phase_ml(
             state, fields, geom, n_levels, rate_ctx, diag, rfs,
-            r_stop, last, dust_approximation, max_steps, src_of_ray)
+            r_stop, last, dust_approximation, max_steps, src_of_ray,
+            rel_kill=rel_kill)
 
         spec_tau = state.cross_depth @ sig_ratio
         contrib = jnp.where(state.crossed[:, None],

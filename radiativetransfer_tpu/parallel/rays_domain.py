@@ -73,7 +73,8 @@ def _masked_combine(mine, rr, rl, keep, fr, fl):
 
 def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
                         bnd_acc, rf, r_stop, last_phase, dust_approximation,
-                        max_steps, axis, n_shards, nz_loc):
+                        max_steps, axis, n_shards, nz_loc,
+                        rel_kill: float = 0.0):
     """One phase of the domain-decomposed march (mirrors
     core.rays._march_phase; the delta is the ownership gating and the
     per-step ray exchange)."""
@@ -87,6 +88,11 @@ def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
     perm_r = [(i, i + 1) for i in range(n_shards - 1)]
     perm_l = [(i + 1, i) for i in range(n_shards - 1)]
     rates_mode = rate_ctx[0]
+    # spectrum-exhaustion kill (see core.rays._march_phase)
+    use_rem_kill = rates_mode.startswith("quadrature") and rel_kill > 0.0
+    if use_rem_kill:
+        wsum = jnp.max(jnp.sum(jnp.abs(rate_ctx[1][1]), axis=2), axis=0)
+        rem_floor = rel_kill * jnp.sum(wsum)
 
     def flat_idx(cell):
         return (cell[:, 0] * n + cell[:, 1]) * nz_loc + (cell[:, 2] - z0)
@@ -181,8 +187,10 @@ def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
         d0 = state.depth
         quad_A, quad_W = rate_ctx[1][:2]
         dtau = jnp.stack([tau1, tau2, tau3], axis=1)
-        deposit = rays_mod._deposit_quadrature(d0, dtau, quad_A, quad_W,
-                                               state.table_idx, w)
+        dq = rays_mod._deposit_quadrature(
+            d0, dtau, quad_A, quad_W, state.table_idx, w,
+            wsum=wsum if use_rem_kill else None)
+        deposit, rem = dq if use_rem_kill else (dq, None)
         rf = type(rf)(*(
             getattr(rf, f.name).at[lidx].add(v)
             for f, v in zip(dataclasses.fields(rf), deposit)))
@@ -199,6 +207,8 @@ def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n), axis=1) & ~cut
         killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        if use_rem_kill:
+            killed_tau = killed_tau | (rem < rem_floor)
 
         hit_boundary = active & out_of_box
         beyond = out_radii[None, :] > r2[:, None]
@@ -235,7 +245,8 @@ def trace_point_sources_domain(state_fields, geom, sources: SourceBatch,
                                tables, mesh: Mesh,
                                dust_approximation: int = NO_DUST,
                                max_pixel_level: int = MAX_PIXEL_LEVEL,
-                               dtype=jnp.float32):
+                               dtype=jnp.float32,
+                               rel_kill: float | None = None):
     """Domain-decomposed analog of core.rays.trace_point_sources
     (quadrature rates; 1-D mesh over the last grid axis).
 
@@ -245,6 +256,8 @@ def trace_point_sources_domain(state_fields, geom, sources: SourceBatch,
     axis = mesh.axis_names[-1]
     if len(mesh.axis_names) != 1:
         raise ValueError("rays_domain needs a 1-D mesh")
+    if rel_kill is None:
+        rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
     n_shards = int(np.prod(mesh.devices.shape))
     n = geom.nx
     assert n % n_shards == 0
@@ -306,7 +319,7 @@ def trace_point_sources_domain(state_fields, geom, sources: SourceBatch,
             state, resident, rem, bnd, rf = _march_phase_domain(
                 state, resident, fields_pk, geom, rate_ctx, rem, bnd, rf,
                 r_stop, last, dust_approximation, max_steps, axis,
-                n_shards, nz_loc)
+                n_shards, nz_loc, rel_kill=rel_kill)
             diag = dataclasses.replace(
                 diag,
                 ndot_remaining=diag.ndot_remaining.at[src_of_ray].add(rem),

@@ -51,7 +51,9 @@ def count_phase_steps(state, geom, sources, tables, max_pixel_level=6):
     """Lockstep while-iteration counts per phase: the DEVICE tracer runs
     each phase (exact dynamics), and a host geometry replay of the same
     phase counts the iterations until every lane is dead — the quantity the
-    roofline needs and the device loop doesn't expose."""
+    roofline needs and the device loop doesn't expose.  Models the
+    production f32 termination policy (tau_kill=30 + spectrum-exhaustion
+    rel_kill=1e-10, round-3 defaults in core.rays)."""
     import dataclasses
     n = geom.nx
     rmax = rmax_table()
@@ -69,6 +71,9 @@ def count_phase_steps(state, geom, sources, tables, max_pixel_level=6):
                                                  SIGMA26_AT_NU2)
     rf = rays.RateFields(*[jnp.zeros(n ** 3, dtype) for _ in range(6)])
     rate_ctx = ("quadrature", (tables["quad_A"], tables["quad_W"]))
+    quad_A_h = np.asarray(tables["quad_A"], np.float64)
+    wsum_h = np.abs(np.asarray(tables["quad_W"], np.float64)).sum(2).max(0)
+    rem_floor = 1.0e-10 * wsum_h.sum()
     diag = rays.RayDiagnostics.zeros(sources.n_sources, dtype)
     st = rays._spawn_phase(sources, 1, dtype)
     st = dataclasses.replace(
@@ -88,7 +93,8 @@ def count_phase_steps(state, geom, sources, tables, max_pixel_level=6):
         d = np.asarray(st.direction, np.float64)
         alive = np.asarray(st.alive)
         radius = np.asarray(st.radius, np.float64)
-        depth = np.asarray(st.depth, np.float64)[:, :3].copy()
+        depth4 = np.asarray(st.depth, np.float64).copy()
+        depth = depth4[:, :3]
         it = 0
         while alive.any() and it < max_steps:
             d_safe = np.where(np.abs(d) < 1e-12,
@@ -115,7 +121,8 @@ def count_phase_steps(state, geom, sources, tables, max_pixel_level=6):
                             plen * fp[idx, 1] * SIGMA26_AT_NU2,
                             plen * fp[idx, 2] * SIGMA25_AT_NU3], 1)
             tau = np.where(alive[:, None], np.maximum(tau, 0), 0)
-            depth = depth + tau
+            depth4[:, :3] += tau
+            depth = depth4[:, :3]
             pos_new = pos + t_min[:, None] * d
             hop = np.eye(3, dtype=np.int64)[exit_axis] * np.where(
                 d_safe > 0, 1, -1)
@@ -124,7 +131,9 @@ def count_phase_steps(state, geom, sources, tables, max_pixel_level=6):
             on = np.arange(3)[None, :] == exit_axis[:, None]
             pos_new = np.where(on & ~cut[:, None], face[:, None], pos_new)
             oob = ((cell_new < 0) | (cell_new >= n)).any(1) & ~cut
-            killed = depth.min(1) > 100.0
+            killed = depth.min(1) > 30.0
+            rem = np.exp(-(depth4 @ quad_A_h)) @ wsum_h
+            killed |= rem < rem_floor
             pos = np.where(alive[:, None], pos_new, pos)
             cell = np.where(alive[:, None], cell_new, cell)
             radius = np.where(alive, radius_new, radius)
@@ -135,7 +144,9 @@ def count_phase_steps(state, geom, sources, tables, max_pixel_level=6):
         # exact device phase advance to the next start state
         st, diag, rf = rays._march_phase(st, fields_pk, geom, rate_ctx,
                                          diag, rf, r_stop, last, 0,
-                                         max_steps, src_of_ray, n_bands=3)
+                                         max_steps, src_of_ray, n_bands=3,
+                                         tau_kill=30.0, unroll=4,
+                                         rel_kill=1.0e-10)
         if not last:
             st, _, _ = rays._split_rays(st, level, n, dtype)
     return steps

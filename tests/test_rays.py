@@ -261,3 +261,52 @@ def test_stromgren_convergence_at_64(tmp_path):
     r = strom.run_one(64, 6, jnp.float32)
     assert abs(r["err_vol_pct"]) < 0.1, r
     assert abs(r["err_half_pct"]) < 0.5, r
+
+
+class TestF32KillEquivalence:
+    """The f32 termination policy (tau_kill=30 + spectrum-exhaustion
+    rel_kill=1e-10, core.rays defaults for f32) must reproduce the
+    reference semantics (tau_kill=100, no rel_kill,
+    /root/reference/equiSources.f90:3241) to float accumulation
+    precision — the killed tail deposits e^-30 ~ 1e-13 of a ray's own
+    scale."""
+
+    def test_tau_kill_f32_equivalence(self, pop):
+        n = 24
+        t = stellar.build_source_tables(pop, 0, 0.0, 0, 0.0)
+        geom = GridGeometry(n, n, n, 60.0 * KPC)  # dense: tau builds fast
+        quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+        log_vol = float(np.log(geom.cell_size) * 3)
+        tables = {"quad_A": jnp.asarray(quad_a),
+                  "quad_W": jnp.asarray(quad_w / np.exp(log_vol))[None],
+                  "output_freq": t.output_freq,
+                  "output_sigma24": t.output_sigma24,
+                  "output_sigma25": t.output_sigma25,
+                  "output_sigma26": t.output_sigma26,
+                  "output_sigma_dust": t.output_sigma_dust}
+        src = _center_source(n)
+        state = uniform_state(n, nh=1e-2, tgas=1.0e4, dtype=jnp.float64)
+
+        def trace(tau_kill, rel_kill):
+            rf, diag = rays.trace_point_sources(
+                state, geom, src, tables, max_pixel_level=4,
+                dtype=jnp.float64, rates_mode="quadrature",
+                tau_kill=tau_kill, rel_kill=rel_kill)
+            return rf, diag
+
+        rf_ref, diag_ref = trace(100.0, 0.0)        # reference semantics
+        rf_f32, diag_f32 = trace(30.0, 1.0e-10)     # f32 policy, in f64
+        for f in ("krate24", "krate25", "krate26", "crate24", "crate25",
+                  "crate26"):
+            a = np.asarray(getattr(rf_ref, f))
+            b = np.asarray(getattr(rf_f32, f))
+            scale = np.abs(a).max()
+            if scale == 0.0:
+                # no HeII in the state -> the band-3 threshold channels
+                # deposit exactly zero in both policies
+                assert np.abs(b).max() == 0.0, f
+            else:
+                assert np.abs(a - b).max() <= 1e-9 * scale, f
+        a = np.asarray(diag_ref.ndot_remaining)
+        b = np.asarray(diag_f32.ndot_remaining)
+        assert np.abs(a - b).max() <= 1e-9 * max(a.max(), 1e-30)
