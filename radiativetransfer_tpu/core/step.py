@@ -331,7 +331,8 @@ class RTModel:
         if cfg.use_pallas_sweep and jax.devices()[0].platform not in ("cpu",):
             from . import sweep_pallas
             return sweep_pallas.diffuse_sweep_pallas(
-                kappa, self.sweep_plan, uvb, cell)
+                kappa, self.sweep_plan, uvb, cell,
+                logmean=getattr(cfg, "sweep_logmean", "exact"))
         return sweep.diffuse_sweep(kappa, self.sweep_plan, uvb, cell)
 
     def _sweep_and_chemistry(self, state: FieldState,

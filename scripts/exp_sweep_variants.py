@@ -70,7 +70,7 @@ def timeit(fn, *args):
 
 def _lean_kernel(lens_ref, chain_ref, uvb_ref, scale_ref, kappa_ref,
                  j_ref, itop_ref, *, dirs_meta, eps, use_exp2, seg1_only,
-                 no_emi):
+                 no_emi, clamped=False, no_shift=False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     ndir = itop_ref.shape[0]
@@ -90,12 +90,23 @@ def _lean_kernel(lens_ref, chain_ref, uvb_ref, scale_ref, kappa_ref,
     # eps in the tau_n domain used by the comparison
     eps_c = eps * LOG2E if use_exp2 else eps
 
+    # clamped-logmean constants: emi = (1 - min(a, A_EPS)) * min(1/tau,
+    # 1/EPS_C); exact big-branch above EPS_C, constant-emi (err <= EPS_C/2)
+    # below, no compare/select and exact-0 for len=0 inactive segments
+    EPS_CL = 3.5e-4
+    A_EPS = float(np.exp(-EPS_CL))
+
     def seg(i_in, ln, C, h, sp):
         tau_n = kappa_b * ln
         a = exp_fn(tau_n)
         i_out = i_in * a
         if no_emi:
             return i_out, i_out
+        if clamped:
+            # C slot holds act*inv_n/(len*cell) >= 0; sp holds inv_n
+            d = i_in - i_in * jnp.minimum(a, A_EPS)
+            lm = d * jnp.minimum(inv_kappa_b * C, sp * (1.0 / EPS_CL))
+            return i_out, lm
         lm = jnp.where(tau_n < -eps_c,
                        (i_out - i_in) * (inv_kappa_b * C),
                        i_in * (sp + h * kappa_b))
@@ -115,12 +126,16 @@ def _lean_kernel(lens_ref, chain_ref, uvb_ref, scale_ref, kappa_ref,
         ch3 = chain_ref[(i * ndir + d) * 2 + 1]
 
         def shift_j(x, flip_j=flip_j):
+            if no_shift:
+                return x
             pad = jnp.full((1, nz), uvb_b, dtype)
             if flip_j:
                 return jnp.concatenate([x[1:, :], pad], axis=0)
             return jnp.concatenate([pad, x[:-1, :]], axis=0)
 
         def shift_k(x, flip_k=flip_k):
+            if no_shift:
+                return x
             pad = jnp.full((ny, 1), uvb_b, dtype)
             if flip_k:
                 return jnp.concatenate([x[:, 1:], pad], axis=1)
@@ -150,9 +165,10 @@ def _lean_kernel(lens_ref, chain_ref, uvb_ref, scale_ref, kappa_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "dirs_meta", "reverse", "nslab", "ny", "nz", "use_exp2", "seg1_only",
-    "no_emi"))
+    "no_emi", "clamped", "no_shift"))
 def _lean_call(kappa_perm, lens, chains, uvb, weight, *, dirs_meta, reverse,
-               nslab, ny, nz, use_exp2, seg1_only, no_emi):
+               nslab, ny, nz, use_exp2, seg1_only, no_emi, clamped=False,
+               no_shift=False):
     dtype = kappa_perm.dtype
     eps = float(_tau_eps(dtype))
     if reverse:
@@ -170,7 +186,8 @@ def _lean_call(kappa_perm, lens, chains, uvb, weight, *, dirs_meta, reverse,
     )
     kernel = functools.partial(_lean_kernel, dirs_meta=dirs_meta, eps=eps,
                                use_exp2=use_exp2, seg1_only=seg1_only,
-                               no_emi=no_emi)
+                               no_emi=no_emi, clamped=clamped,
+                               no_shift=no_shift)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, nslab, ny, nz), dtype),
@@ -178,8 +195,12 @@ def _lean_call(kappa_perm, lens, chains, uvb, weight, *, dirs_meta, reverse,
       kappa_perm)
 
 
-def _lean_pack(launch, cell_size, use_exp2, np_dtype):
-    """(nslab, D, 16) from a _MergedLaunch's raw lens (unit) + chains."""
+def _lean_pack(launch, cell_size, use_exp2, np_dtype, clamped=False):
+    """(nslab, D, 16) from a _MergedLaunch's raw lens (unit) + chains.
+
+    All per-segment scalars are act-masked so inactive chain slots (whose
+    builder lengths carry nonzero chain-selected values) contribute
+    exactly 0 to both tau and lm."""
     lens = launch.lens.astype(np.float64)   # (nslab, D, 8) raw: see builder
     raw = lens[..., 0:3]                    # unit lengths, chain-ordered
     inv_n = lens[..., 3:4]
@@ -187,11 +208,15 @@ def _lean_pack(launch, cell_size, use_exp2, np_dtype):
                           (launch.chains[..., 0:1] != SEG_NONE),
                           (launch.chains[..., 1:2] != SEG_NONE)],
                          axis=-1).astype(np.float64)
-    len_nat = -raw * cell_size
+    len_nat = -raw * cell_size * act
     with np.errstate(divide="ignore"):
-        C = np.where(raw > 0, -inv_n / (raw * cell_size), 0.0)
+        if clamped:
+            # C slot: act*inv_n/(len*cell) (positive); s slot: inv_n
+            C = np.where(raw > 0, act * inv_n / (raw * cell_size), 0.0)
+        else:
+            C = np.where(raw > 0, -act * inv_n / (raw * cell_size), 0.0)
     h = 0.5 * inv_n * len_nat
-    s = inv_n * act
+    s = inv_n * (np.ones_like(act) if clamped else act)
     ln = len_nat * (LOG2E if use_exp2 else 1.0)
     out = np.concatenate(
         [ln, C, h, s, np.zeros_like(raw), np.zeros_like(raw[..., :1])],
@@ -200,7 +225,8 @@ def _lean_pack(launch, cell_size, use_exp2, np_dtype):
 
 
 def lean_sweep(kappa, plan: SweepPlan, uvb, cell_size, use_exp2=False,
-               seg1_only=False, no_emi=False):
+               seg1_only=False, no_emi=False, clamped=False,
+               no_shift=False):
     dtype = kappa.dtype
     np_dtype = np.dtype(dtype.name if hasattr(dtype, "name") else dtype)
     uvb = jnp.asarray(uvb, dtype)
@@ -219,7 +245,8 @@ def lean_sweep(kappa, plan: SweepPlan, uvb, cell_size, use_exp2=False,
         nslab, ny, nz = kperm.shape[1], kperm.shape[2], kperm.shape[3]
         j_perm = None
         for launch in perm_launches:
-            packed = _lean_pack(launch, cell_size, use_exp2, np_dtype)
+            packed = _lean_pack(launch, cell_size, use_exp2, np_dtype,
+                                clamped=clamped)
             ndir = len(launch.dirs_meta)
             for lo in range(0, ndir, d_max):
                 hi = min(lo + d_max, ndir)
@@ -228,7 +255,8 @@ def lean_sweep(kappa, plan: SweepPlan, uvb, cell_size, use_exp2=False,
                     jnp.asarray(launch.chains[:, lo:hi].reshape(-1)),
                     uvb, plan.weight, dirs_meta=launch.dirs_meta[lo:hi],
                     reverse=launch.reverse, nslab=nslab, ny=ny, nz=nz,
-                    use_exp2=use_exp2, seg1_only=seg1_only, no_emi=no_emi)
+                    use_exp2=use_exp2, seg1_only=seg1_only, no_emi=no_emi,
+                    clamped=clamped, no_shift=no_shift)
                 j_perm = jp if j_perm is None else j_perm + jp
         jmean = jmean + jnp.transpose(j_perm, (0,) + tuple(1 + x for x in q))
     return jmean
@@ -258,18 +286,26 @@ def main():
         k, plan, uvb, cell))
     j_ref = sweep_pallas.diffuse_sweep_pallas(kappa, plan, uvb, cell)
 
-    variants = {
-        "lean": dict(use_exp2=False, seg1_only=False, no_emi=False),
-        "lean2": dict(use_exp2=True, seg1_only=False, no_emi=False),
-        "seg1": dict(use_exp2=False, seg1_only=True, no_emi=False),
-        "noemi": dict(use_exp2=False, seg1_only=False, no_emi=True),
+    names = os.environ.get(
+        "EXP_VARIANTS", "lean,clamp,clamp2,seg1,noemi,noshift").split(",")
+    all_variants = {
+        "lean": dict(),
+        "clamp": dict(clamped=True),
+        "clamp2": dict(clamped=True, use_exp2=True),
+        "seg1": dict(seg1_only=True),
+        "noemi": dict(no_emi=True),
+        "noshift": dict(no_shift=True),
     }
+    variants = {k: all_variants[k] for k in names}
+    defaults = dict(use_exp2=False, seg1_only=False, no_emi=False,
+                    clamped=False, no_shift=False)
+    variants = {k: {**defaults, **v} for k, v in variants.items()}
 
     dt = timeit(ship, kappa) / CHAIN
     print(f"ship : {dt*1e3:7.1f} ms/sweep  {ca/dt:.3e} cells*angles/s")
     for name, kw in variants.items():
         f = chain(lambda k, kw=kw: lean_sweep(k, plan, uvb, cell, **kw))
-        if not (kw["seg1_only"] or kw["no_emi"]):
+        if not (kw["seg1_only"] or kw["no_emi"] or kw["no_shift"]):
             jv = lean_sweep(kappa, plan, uvb, cell, **kw)
             err = float(jnp.max(jnp.abs(jv - j_ref))
                         / jnp.max(jnp.abs(j_ref)))

@@ -53,3 +53,29 @@ def test_malformed_chain_table_rejected():
         sweep_pallas._validate_zone_tables(bad_zone)
     for z in plan.zones:                   # real plans pass
         sweep_pallas._validate_zone_tables(z)
+
+
+def test_clamped_logmean_accuracy():
+    """The branch-free clamped logmean (--sweep-logmean clamped) must stay
+    within its documented bounds: <= ~6e-4 deviation from the exact
+    two-branch form across a tau range spanning both regimes, and
+    <= 1.75e-4 emissivity bias in a fully transparent box."""
+    n = 6
+    rng = np.random.default_rng(3)
+    # kappa*cell spanning 1e-8 .. 10 (deep into both logmean branches)
+    kappa = jnp.asarray(10.0 ** rng.uniform(-8, 1, (3, n, n, n)) / KPC,
+                        jnp.float32)
+    uvb = jnp.array([1.0, 0.5, 0.25], jnp.float32)
+    plan = sweep.build_sweep_plan(1, n)
+    j_exact = np.asarray(sweep_pallas.diffuse_sweep_pallas(
+        kappa, plan, uvb, KPC, interpret=True))
+    j_clamp = np.asarray(sweep_pallas.diffuse_sweep_pallas(
+        kappa, plan, uvb, KPC, interpret=True, logmean="clamped"))
+    denom = np.maximum(np.abs(j_exact), np.abs(j_exact).max() * 1e-3)
+    assert np.max(np.abs(j_clamp - j_exact) / denom) < 1e-3
+
+    kappa0 = jnp.full((3, n, n, n), 1e-30, jnp.float32)
+    j0 = np.asarray(sweep_pallas.diffuse_sweep_pallas(
+        kappa0, plan, uvb, KPC, interpret=True, logmean="clamped"))
+    ref = np.asarray(uvb)[:, None, None, None] * np.ones((3, n, n, n))
+    assert np.max(np.abs(j0 - ref) / ref) < 2.0e-4
