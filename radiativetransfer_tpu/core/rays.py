@@ -63,6 +63,13 @@ def default_tau_kill(dtype) -> float:
     return _TAU_KILL if jnp.dtype(dtype).itemsize >= 8 else _TAU_KILL_F32
 
 
+def _default_unroll() -> int:
+    """March steps per while body: >1 amortizes the tunneled TPU's
+    ~0.5 ms/iteration dispatch overhead but multiplies trace/compile time,
+    so CPU (tests, oracles) keeps single-step bodies."""
+    return 1 if jax.devices()[0].platform == "cpu" else 4
+
+
 @dataclasses.dataclass(frozen=True)
 class SourceBatch:
     """Sources prepared for tracing (host NumPy; static per iteration)."""
@@ -597,11 +604,19 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                       n_sources: int, dust_approximation: int,
                       max_pixel_level: int, dtype, rates_mode: str = "table",
                       n_bands: int = 3, tau_kill: float | None = None,
-                      unroll: int = 8, rel_kill: float | None = None):
+                      unroll: int | None = None,
+                      rel_kill: float | None = None,
+                      skip_last_phase: bool = False):
     """All phases of the trace; pure function of arrays, jitted via
-    _get_tracer (the phase loop unrolls at trace time)."""
+    _get_tracer (the phase loop unrolls at trace time).
+
+    skip_last_phase: stop after splitting into the final phase's rays and
+    additionally return (state, fields_pk) — the host-driven compacting
+    tracer (trace_point_sources_compact) runs the last phase itself."""
     n = geom.nx
     rmax = rmax_table()
+    if unroll is None:
+        unroll = _default_unroll()
     if tau_kill is None:
         tau_kill = default_tau_kill(dtype)
     if rel_kill is None:
@@ -636,7 +651,8 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
         jnp.asarray(tables["output_sigma_dust"], dtype) / SIGMA_DUST_AT_NU1,
     ])  # (4, nenergy)
 
-    for level in range(1, max_pixel_level + 1):
+    top = max_pixel_level if skip_last_phase else max_pixel_level + 1
+    for level in range(1, top):
         last = level == max_pixel_level
         r_stop = rmax[level - 1]
         max_steps = int(6 * n + 64) if last else int(3 * (r_stop + 2) + 16)
@@ -672,6 +688,10 @@ def _trace_all_phases(fields, init_state: _RayState, tables, geom,
                 .at[src4].add(jnp.where(beyond & lost[:, None],
                                         state.ndot[:, None], 0.0)))
 
+    if skip_last_phase:
+        # host-driven final phase (trace_point_sources_compact): hand back
+        # the split-ready last-phase rays and the packed fields
+        return rf, diag, state, fields_pk
     return rf, diag
 
 
@@ -680,7 +700,7 @@ _TRACER_CACHE: dict = {}
 
 def _get_tracer(geom, n_sources: int, dust_approximation: int,
                 max_pixel_level: int, dtype, rates_mode: str, n_bands: int,
-                tau_kill: float | None = None, unroll: int = 8,
+                tau_kill: float | None = None, unroll: int | None = None,
                 rel_kill: float | None = None):
     """Compiled tracer, cached on the static configuration so repeated
     iterations reuse the executable."""
@@ -702,7 +722,8 @@ def trace_point_sources(state_fields, geom, sources: SourceBatch, tables,
                         max_pixel_level: int = MAX_PIXEL_LEVEL,
                         dtype=jnp.float64, rates_mode: str = "auto",
                         n_bands: int = 3, tau_kill: float | None = None,
-                        unroll: int = 8, rel_kill: float | None = None):
+                        unroll: int | None = None,
+                        rel_kill: float | None = None):
     """Trace all sources; returns (RateFields on the grid, RayDiagnostics).
 
     state_fields: FieldState (dense (n,n,n) fields).
@@ -772,3 +793,175 @@ def cosmic_spectrum(diag: RayDiagnostics, weights: np.ndarray,
     spec = np.asarray(diag.ndot_spectrum)
     denom = np.where(nb < w, w - nb, np.inf)
     return (w * spec / denom).sum(axis=0) / max(n_stars_specific_age, 1)
+
+
+# ---------------------------------------------------------------------------
+# Host-driven compacting tracer
+# ---------------------------------------------------------------------------
+
+_CHUNK_CACHE: dict = {}
+_COMPACT_CACHE: dict = {}
+
+
+def _bucket_size(count: int, floor: int = 1024) -> int:
+    return 1 << max(count - 1, floor - 1).bit_length()
+
+
+def _get_chunk_runner(key, geom, last: bool, r_stop: float, chunk: int,
+                      dust_approximation: int, n_bands: int,
+                      rates_mode: str, tau_kill: float, rel_kill: float,
+                      dtype):
+    """Jitted final-phase chunk: `chunk` march steps (one unrolled while
+    body), per-chunk emergent-spectrum flush, alive count."""
+    if key in _CHUNK_CACHE:
+        return _CHUNK_CACHE[key]
+
+    def run(fields_pk, state, diag, rf, src_of_ray, ctx_arrays, sig_ratio):
+        rate_ctx = (rates_mode, ctx_arrays)
+        state, diag, rf = _march_phase(
+            state, fields_pk, geom, rate_ctx, diag, rf, r_stop, last,
+            dust_approximation, chunk, src_of_ray, n_bands,
+            tau_kill=tau_kill, unroll=chunk, rel_kill=rel_kill)
+        # emergent-spectrum flush: identical to the per-phase flush of
+        # _trace_all_phases, just at chunk granularity (each ray crosses
+        # the outer radius at most once, so early flushing is exact)
+        spec_tau = state.cross_depth @ sig_ratio
+        contrib = jnp.where(state.crossed[:, None],
+                            state.ndot[:, None] * jnp.exp(-spec_tau), 0.0)
+        diag = dataclasses.replace(
+            diag,
+            ndot_spectrum=diag.ndot_spectrum.at[src_of_ray].add(contrib))
+        state = dataclasses.replace(state,
+                                    crossed=jnp.zeros_like(state.crossed))
+        return state, diag, rf, jnp.sum(state.alive.astype(jnp.int32))
+
+    _CHUNK_CACHE[key] = jax.jit(run)
+    return _CHUNK_CACHE[key]
+
+
+def _get_compactor(r_to: int):
+    """Jitted dead-lane compactor: stable-sort alive rays to the front and
+    truncate to r_to slots.  Valid only in the FINAL phase (no later
+    splits, so the [source-major, pixel-minor] layout _split_rays assumes
+    is no longer needed) and only after the dropped rays' diagnostics are
+    flushed (the chunk runner flushes every chunk)."""
+    if r_to in _COMPACT_CACHE:
+        return _COMPACT_CACHE[r_to]
+
+    def compact(state, src_of_ray):
+        order = jnp.argsort(~state.alive, stable=True)[:r_to]
+        take = lambda x: x[order]
+        return jax.tree_util.tree_map(take, state), src_of_ray[order]
+
+    _COMPACT_CACHE[r_to] = jax.jit(compact)
+    return _COMPACT_CACHE[r_to]
+
+
+def trace_point_sources_compact(state_fields, geom, sources: SourceBatch,
+                                tables,
+                                dust_approximation: int = NO_DUST,
+                                max_pixel_level: int = MAX_PIXEL_LEVEL,
+                                dtype=jnp.float32, rates_mode: str = "auto",
+                                n_bands: int = 3,
+                                tau_kill: float | None = None,
+                                rel_kill: float | None = None,
+                                chunk: int = 16):
+    """trace_point_sources with HOST-DRIVEN final-phase compaction.
+
+    The final pixel level is 75-98% of the trace and its per-step cost is
+    per-lockstep-LANE (scatter/gather rows; scripts/roofline_tracer.py),
+    paid at full R even as rays die.  Here the final phase runs as jitted
+    `chunk`-step calls from the host; between chunks the alive count is
+    read back (one chunk LATE, so the ~25 ms tunnel round trip overlaps
+    the next chunk's execution) and the ray buffers are compacted to the
+    next power-of-two bucket.  Alive counts are monotone within a phase,
+    so a one-chunk-stale bound is always safe.
+
+    Must be called EAGERLY (host control flow); the jittable
+    trace_point_sources is unchanged for traced contexts.  Deposits land
+    in a different scatter order, so fields match trace_point_sources to
+    float-rounding (exact semantics otherwise; see
+    tests/test_rays.py::TestCompactTracer).
+    """
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
+    if tau_kill is None:
+        tau_kill = default_tau_kill(dtype)
+    if rel_kill is None:
+        rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
+    n = geom.nx
+    fields = {
+        "HI": state_fields.HI.reshape(-1).astype(dtype),
+        "HeI": state_fields.HeI.reshape(-1).astype(dtype),
+        "HeII": state_fields.HeII.reshape(-1).astype(dtype),
+        "nH": state_fields.nh.reshape(-1).astype(dtype),
+        "abun2": state_fields.abun2.reshape(-1).astype(dtype),
+    }
+    state = _spawn_phase(sources, 1, dtype)
+    state = dataclasses.replace(
+        state, cell=jnp.clip((state.pos * n).astype(jnp.int32), 0, n - 1))
+    tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+
+    # phases 1..L-1 (cheap, must keep split layout): one jitted prefix
+    key = ("prefix", geom, sources.n_sources, dust_approximation,
+           max_pixel_level, jnp.dtype(dtype).name, rates_mode, n_bands,
+           tau_kill, rel_kill)
+    if key not in _TRACER_CACHE:
+        _TRACER_CACHE[key] = jax.jit(
+            partial(_trace_all_phases, geom=geom,
+                    n_sources=sources.n_sources,
+                    dust_approximation=dust_approximation,
+                    max_pixel_level=max_pixel_level, dtype=dtype,
+                    rates_mode=rates_mode, n_bands=n_bands,
+                    tau_kill=tau_kill, rel_kill=rel_kill,
+                    skip_last_phase=True))
+    rf, diag, state, fields_pk = _TRACER_CACHE[key](fields, state,
+                                                    tables_dev)
+
+    if rates_mode == "quadrature_noneq":
+        ctx_arrays = (jnp.asarray(tables_dev["quad_A"], dtype),
+                      jnp.asarray(tables_dev["quad_W"], dtype),
+                      jnp.asarray(tables_dev["quad_W27"], dtype))
+    elif rates_mode == "quadrature":
+        ctx_arrays = (jnp.asarray(tables_dev["quad_A"], dtype),
+                      jnp.asarray(tables_dev["quad_W"], dtype))
+    else:
+        ctx_arrays = _pack_tables(tables_dev["reaction_log"],
+                                  tables_dev["energy_log"])
+    sig_ratio = jnp.stack([
+        jnp.asarray(tables_dev["output_sigma24"], dtype) / SIGMA24_AT_NU1,
+        jnp.asarray(tables_dev["output_sigma26"], dtype) / SIGMA26_AT_NU2,
+        jnp.asarray(tables_dev["output_sigma25"], dtype) / SIGMA25_AT_NU3,
+        jnp.asarray(tables_dev["output_sigma_dust"], dtype)
+        / SIGMA_DUST_AT_NU1,
+    ])
+
+    rays_last = 12 * 4 ** (max_pixel_level - 1)
+    src_of_ray = jnp.repeat(
+        jnp.arange(sources.n_sources, dtype=jnp.int32), rays_last)
+    r_stop = float(rmax_table()[max_pixel_level - 1])
+    max_steps = int(6 * n + 64)
+    bucket = state.pos.shape[0]
+
+    steps = 0
+    pending = None
+    while steps < max_steps:
+        runner = _get_chunk_runner(
+            ("chunk", geom, bucket, chunk, dust_approximation, n_bands,
+             rates_mode, tau_kill, rel_kill, jnp.dtype(dtype).name),
+            geom, True, r_stop, chunk,
+            dust_approximation, n_bands, rates_mode, tau_kill, rel_kill,
+            dtype)
+        state, diag, rf, cnt = runner(fields_pk, state, diag, rf,
+                                      src_of_ray, ctx_arrays, sig_ratio)
+        steps += chunk
+        if pending is not None:
+            c = int(pending)          # chunk-late count; overlaps `runner`
+            if c == 0:
+                break
+            nb = _bucket_size(c)
+            if nb < bucket:
+                state, src_of_ray = _get_compactor(nb)(state, src_of_ray)
+                bucket = nb
+        pending = cnt
+    return rf, diag

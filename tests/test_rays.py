@@ -310,3 +310,49 @@ class TestF32KillEquivalence:
         a = np.asarray(diag_ref.ndot_remaining)
         b = np.asarray(diag_f32.ndot_remaining)
         assert np.abs(a - b).max() <= 1e-9 * max(a.max(), 1e-30)
+
+
+class TestCompactTracer:
+    """Host-driven final-phase compaction (trace_point_sources_compact)
+    must reproduce the jittable tracer exactly up to deposit scatter
+    ORDER (float rounding)."""
+
+    def test_compact_matches_standard(self, pop):
+        n = 24
+        t = stellar.build_source_tables(pop, 0, 0.0, 0, 0.0)
+        geom = GridGeometry(n, n, n, 300.0 * KPC)
+        quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+        log_vol = float(np.log(geom.cell_size) * 3)
+        tables = {"quad_A": jnp.asarray(quad_a),
+                  "quad_W": jnp.asarray(quad_w / np.exp(log_vol))[None],
+                  "output_freq": t.output_freq,
+                  "output_sigma24": t.output_sigma24,
+                  "output_sigma25": t.output_sigma25,
+                  "output_sigma26": t.output_sigma26,
+                  "output_sigma_dust": t.output_sigma_dust}
+        rng = np.random.default_rng(0)
+        pos = (np.floor(rng.uniform(0.3, 0.7, (3, 3)) * n) + 0.5) / n
+        src = rays.SourceBatch(position=pos, weight=np.ones(3),
+                               table_idx=np.zeros(3, np.int32))
+        state = uniform_state(n, nh=2e-4, tgas=1.5e4, dtype=jnp.float64)
+
+        rf_a, dg_a = rays.trace_point_sources(
+            state, geom, src, tables, max_pixel_level=4,
+            dtype=jnp.float64, rates_mode="quadrature")
+        rf_b, dg_b = rays.trace_point_sources_compact(
+            state, geom, src, tables, max_pixel_level=4,
+            dtype=jnp.float64, rates_mode="quadrature", chunk=8)
+        for f in ("krate24", "krate25", "krate26", "crate24", "crate25",
+                  "crate26"):
+            a = np.asarray(getattr(rf_a, f))
+            b = np.asarray(getattr(rf_b, f))
+            sc = np.abs(a).max()
+            if sc == 0.0:
+                assert np.abs(b).max() == 0.0, f
+            else:
+                assert np.abs(a - b).max() <= 1e-12 * sc, f
+        for f in ("ndot_remaining", "ndot_boundary", "ndot_spectrum"):
+            a = np.asarray(getattr(dg_a, f))
+            b = np.asarray(getattr(dg_b, f))
+            sc = max(np.abs(a).max(), 1e-300)
+            assert np.abs(a - b).max() <= 1e-12 * sc, f
