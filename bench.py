@@ -15,7 +15,8 @@ Environment knobs:
   BENCH_REPS    timed repetitions (default 3)
   BENCH_IMPL    pallas | xla (default: pallas on TPU)
   BENCH_KIND    sweep (default, the headline metric) | rays
-                (point-source tracer throughput in ray-segments/s)
+                (point-source tracer throughput in ray-segments/s) | step
+                (full mode-8 transport+chemistry iteration, cells/s)
 """
 
 from __future__ import annotations
@@ -104,6 +105,65 @@ def bench_rays() -> None:
     }))
 
 
+def bench_step() -> None:
+    """Full production iteration: mode-8 (point-source trace + 192-dir
+    sweep + equilibrium chemistry) on a BENCH_N^3 grid, f32 — the
+    end-to-end cells/s a CLI run sees per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from radiativetransfer_tpu.config import RunConfig
+    from radiativetransfer_tpu.constants import KPC, MYR
+    from radiativetransfer_tpu.core import rays
+    from radiativetransfer_tpu.core import step as step_mod
+    from radiativetransfer_tpu.core.state import GridGeometry, uniform_state
+    from radiativetransfer_tpu.tables import stellar
+
+    platform = jax.devices()[0].platform
+    n = int(os.environ.get("BENCH_N", "128"))
+    level = int(os.environ.get("BENCH_LEVEL", "3"))
+    n_src = int(os.environ.get("BENCH_SOURCES", "8"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    if platform == "cpu" and "BENCH_N" not in os.environ:
+        n, level = 32, 1
+
+    cfg = RunConfig(mode=8, current_redshift=6.55, n_angular_level=level,
+                    reionization_model=10, grid="bench")
+    geom = GridGeometry(n, n, n, 2000.0 * KPC)
+    model = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    pos = (np.floor(rng.uniform(0.3, 0.7, (n_src, 3)) * n) + 0.5) / n
+    batch = rays.SourceBatch(position=pos, weight=np.ones(n_src),
+                             table_idx=np.zeros(n_src, np.int32))
+    pop = stellar.blackbody_population(q_ionizing=1.0e51)
+    ctx = step_mod.StellarContext.build(pop, batch, geom, 10.0 * MYR,
+                                        metal_coefs=[(0, 0.0)])
+    step = model.make_step(stellar=ctx)
+    state = uniform_state(n, nh=2e-4, tgas=1.5e4, dtype=jnp.float32)
+
+    def sync(st):
+        return float(jnp.sum(st.HI))
+
+    out, _ = step(state)
+    sync(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, _ = step(state)
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    ndir = 12 * 4 ** (level - 1)
+    value = n ** 3 / dt
+    print(json.dumps({
+        "metric": f"full mode-8 step cells/s ({n}^3, {ndir} directions, "
+                  f"{n_src} sources, f32, {platform})",
+        "value": value,
+        "unit": "cells/s",
+        "vs_baseline": dt,   # seconds per full iteration
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -111,8 +171,12 @@ def main() -> None:
     from radiativetransfer_tpu.constants import KPC
     from radiativetransfer_tpu.core import sweep
 
-    if os.environ.get("BENCH_KIND", "sweep") == "rays":
+    kind = os.environ.get("BENCH_KIND", "sweep")
+    if kind == "rays":
         bench_rays()
+        return
+    if kind == "step":
+        bench_step()
         return
 
     n = int(os.environ.get("BENCH_N", "256"))
