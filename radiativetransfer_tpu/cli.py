@@ -59,6 +59,11 @@ def main(argv=None):
                          "two-branch) or clamped (branch-free, ~9%% faster "
                          "sweep, emissivity bias <= 1.75e-4 in cells with "
                          "tau < 3.5e-4)")
+    ap.add_argument("--tracer-compact", action="store_true",
+                    help="single-device tracer: host-driven final-phase "
+                         "dead-lane compaction (exact up to deposit order; "
+                         "a win on locally-attached TPU, a loss through a "
+                         "high-latency tunnel)")
     ap.add_argument("--tracer-strategy", default="",
                     choices=("", "sources", "domain"),
                     help="distributed tracer: sources = shard sources + "
@@ -128,6 +133,8 @@ def main(argv=None):
         cfg.sweep_strategy = args.sweep_strategy
     if args.sweep_logmean:
         cfg.sweep_logmean = args.sweep_logmean
+    if args.tracer_compact:
+        cfg.tracer_compact = True
     if args.mesh_shape:
         cfg.mesh_shape = tuple(int(x) for x in args.mesh_shape.split(","))
     if args.tracer_strategy:

@@ -60,6 +60,11 @@ class RunConfig:
     # in transparent cells) or "clamped" (branch-free min-clamp, ~9%
     # faster sweep, bounded emissivity bias <= 1.75e-4 below tau = 3.5e-4)
     sweep_logmean: str = "exact"
+    # single-device tracer: host-driven final-phase dead-lane compaction
+    # (rays.trace_point_sources_compact).  Exact up to deposit order; a
+    # win on locally-attached TPU, a loss through a high-latency tunnel
+    # (each chunk costs one host round trip) — see BASELINE.md round 3
+    tracer_compact: bool = False
     # "sources": shard sources, all-gather fields (parallel.rays_dist);
     # "domain": shard fields, migrate rays between shards
     # (parallel.rays_domain — per-device field memory = the shard)

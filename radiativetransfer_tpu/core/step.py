@@ -382,7 +382,10 @@ class RTModel:
                     max_pixel_level=stellar.max_pixel_level,
                     dtype=state.rho.dtype)
             else:
-                rf, diag = rays.trace_point_sources(
+                tracer = (rays.trace_point_sources_compact
+                          if getattr(self.config, "tracer_compact", False)
+                          else rays.trace_point_sources)
+                rf, diag = tracer(
                     state, self.geom, stellar.sources, stellar.tables,
                     dust_approximation=stellar.dust_approximation,
                     max_pixel_level=stellar.max_pixel_level,
