@@ -56,7 +56,7 @@ def main(argv=None):
     ap.add_argument("--sweep-logmean", default="",
                     choices=("", "exact", "clamped"),
                     help="Pallas logmean form: exact (default; reference "
-                         "two-branch) or clamped (branch-free, ~9%% faster "
+                         "two-branch) or clamped (branch-free, +6.6%% faster "
                          "sweep, emissivity bias <= 1.75e-4 in cells with "
                          "tau < 3.5e-4)")
     ap.add_argument("--tracer-compact", action="store_true",

@@ -57,7 +57,7 @@ class RunConfig:
     # (in-kernel Pallas remote copies, parallel.sweep_rdma)
     sweep_strategy: str = "auto"
     # Pallas logmean form: "exact" (reference two-branch, emi = 1 exactly
-    # in transparent cells) or "clamped" (branch-free min-clamp, ~9%
+    # in transparent cells) or "clamped" (branch-free min-clamp, +6.6%
     # faster sweep, bounded emissivity bias <= 1.75e-4 below tau = 3.5e-4)
     sweep_logmean: str = "exact"
     # single-device tracer: host-driven final-phase dead-lane compaction

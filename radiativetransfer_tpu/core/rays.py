@@ -220,6 +220,12 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
         # channel's remaining deposit for every bucket
         quad_A = rate_ctx[1][0]
         wsum = jnp.max(jnp.sum(jnp.abs(rate_ctx[1][1]), axis=2), axis=0)
+        if len(rate_ctx[1]) > 2:
+            # quadrature_noneq also deposits the k27..k31 channels from
+            # quad_W27, whose spectral support can exceed quad_W's — the
+            # kill envelope must bound those deposits too
+            wsum = jnp.maximum(wsum, jnp.max(
+                jnp.sum(jnp.abs(rate_ctx[1][2]), axis=2), axis=0))
         rem_floor = rel_kill * jnp.sum(wsum)
 
     def flat_idx(cell):
@@ -948,7 +954,8 @@ def trace_point_sources_compact(state_fields, geom, sources: SourceBatch,
     while steps < max_steps:
         runner = _get_chunk_runner(
             ("chunk", geom, bucket, chunk, dust_approximation, n_bands,
-             rates_mode, tau_kill, rel_kill, jnp.dtype(dtype).name),
+             rates_mode, tau_kill, rel_kill, r_stop, max_pixel_level,
+             jnp.dtype(dtype).name),
             geom, True, r_stop, chunk,
             dust_approximation, n_bands, rates_mode, tau_kill, rel_kill,
             dtype)

@@ -46,6 +46,7 @@ from .rays import (
     SourceBatch,
     _RayState,
     _deposit_quadrature,
+    default_tau_kill,
     _interp_flat,
     _pack_fields,
     _pack_tables,
@@ -53,7 +54,9 @@ from .rays import (
     _split_rays,
 )
 
-_TAU_KILL = 100.0
+# dtype-aware kill threshold (core.rays.default_tau_kill): 100 in f64
+# for reference parity, 30 in f32 where e^-30 is below accumulation
+# resolution — keeps every tracer consistent (ADVICE r3)
 
 
 def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
@@ -73,6 +76,7 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
     n2 = 2 * n
     cell_size = geom.cell_size          # base cell [cm]
     dtype = state.ndot.dtype
+    tau_kill = default_tau_kill(dtype)
     out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
     R = state.pos.shape[0]
     rem_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
@@ -237,7 +241,7 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n2), axis=1) & ~cut
         # kill on the THREE ionization depths only (equiSources.f90:3241)
-        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > tau_kill
         if use_rem_kill:
             killed_tau = killed_tau | (rem < rem_floor)
 

@@ -41,6 +41,7 @@ from .rays import (
     SourceBatch,
     _deposit_noneq,
     _deposit_quadrature,
+    default_tau_kill,
     _interp_flat,
     _pack_fields,
     _pack_tables,
@@ -48,7 +49,9 @@ from .rays import (
     _split_rays,
 )
 
-_TAU_KILL = 100.0
+# dtype-aware kill threshold (core.rays.default_tau_kill): 100 in f64
+# for reference parity, 30 in f32 where e^-30 is below accumulation
+# resolution — keeps every tracer consistent (ADVICE r3)
 
 
 def leaf_level_volume(refined, n: int, n_levels: int) -> jnp.ndarray:
@@ -124,6 +127,7 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
     nF = n * 2 ** (L - 1)
     cell_size = geom.cell_size
     dtype = state.ndot.dtype
+    tau_kill = default_tau_kill(dtype)
     out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
     R = state.pos.shape[0]
     rem_acc0 = jnp.zeros((R, out_radii.shape[0]), dtype)
@@ -279,7 +283,7 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
         cell_new = jnp.where(cut[:, None], state.cell, cell_new)
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= nF), axis=1) & ~cut
-        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > tau_kill
         if use_rem_kill:
             killed_tau = killed_tau | (rem < rem_floor)
 

@@ -470,7 +470,7 @@ def diffuse_sweep_pallas(kappa, plan: SweepPlan, uvb, cell_size,
 
     logmean: "exact" (default) keeps the reference's two-branch logmean
     (exact emi = 1 in transparent cells); "clamped" uses the branch-free
-    min-clamp form — ~5% faster, with a bounded bias <= 1.75e-4 on the
+    min-clamp form — +6.6% on the canonical bench (BASELINE.md r3), with a bounded bias <= 1.75e-4 on the
     emissivity of cells with tau < 3.5e-4 (the exact branch's own f32
     cancellation reaches 6e-4 just above its 1e-4 threshold, so the
     clamp's MAX error is smaller; its error in the fully-transparent

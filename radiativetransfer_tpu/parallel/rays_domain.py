@@ -53,7 +53,9 @@ from ..constants import (
 from ..core import rays as rays_mod
 from ..core.rays import RateFields, RayDiagnostics, SourceBatch
 
-_TAU_KILL = 100.0
+# dtype-aware kill threshold (core.rays.default_tau_kill): 100 in f64
+# for reference parity, 30 in f32 where e^-30 is below accumulation
+# resolution — keeps every tracer consistent (ADVICE r3)
 
 
 def _masked_combine(mine, rr, rl, keep, fr, fl):
@@ -81,6 +83,7 @@ def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
     n = geom.nx
     cell_size = geom.cell_size
     dtype = state.ndot.dtype
+    tau_kill = rays_mod.default_tau_kill(dtype)
     out_radii = jnp.asarray(np.array(OUTPUT_RADII_KPC) * KPC, dtype)
     R = state.pos.shape[0]
     idx_shard = jax.lax.axis_index(axis)
@@ -206,7 +209,7 @@ def _march_phase_domain(state, resident, fields_pk, geom, rate_ctx, rem_acc,
                             & ~cut[:, None], face[:, None], pos_new)
 
         out_of_box = jnp.any((cell_new < 0) | (cell_new >= n), axis=1) & ~cut
-        killed_tau = jnp.min(depth_new[:, :3], axis=1) > _TAU_KILL
+        killed_tau = jnp.min(depth_new[:, :3], axis=1) > tau_kill
         if use_rem_kill:
             killed_tau = killed_tau | (rem < rem_floor)
 

