@@ -254,26 +254,36 @@ def multilevel_from_levels(level_lists, read_metals: bool, dtype=None,
         refined.append(r)
     refined = enforce_balance(refined)
 
+    has_vel = any("velx" in d for d in dense)
     states = []
     for ell in range(depth):
         d = dense[ell]
         abun2 = d["abun2"]
         if ell == 0 and read_metals and smooth_metals:
             abun2 = grid_io.smooth_metallicity(abun2)
+        keys = ["nh", "tgas", "xneu", "abun2"]
+        if has_vel:
+            keys += ["velx", "vely", "velz"]
+            for k in ("velx", "vely", "velz"):
+                d.setdefault(k, np.zeros_like(d["nh"]))
         if ell > 0:
             # fill cells without data (unrefined regions + balance-added
-            # refinement) by prolongation from the level below
+            # refinement) by prolongation from the level below; kinematics
+            # prolong with the rest (placeCellProjectWithVelocity,
+            # equiSources.f90:1870-1974 carries vel at every level)
             pb = {k: np.repeat(np.repeat(np.repeat(
-                filled_prev[k], 2, 0), 2, 1), 2, 2)
-                for k in ("nh", "tgas", "xneu", "abun2")}
-            d = {k: np.where(d[k] > 0 if k != "abun2" else d["nh"] > 0,
+                filled_prev[k], 2, 0), 2, 1), 2, 2) for k in keys}
+            got = d["nh"] > 0
+            d = {k: np.where(d[k] > 0 if k not in ("abun2", "velx", "vely",
+                                                   "velz") else got,
                              d[k], pb[k]) for k in pb}
             abun2 = d["abun2"]
-        filled_prev = {"nh": d["nh"], "tgas": d["tgas"], "xneu": d["xneu"],
-                       "abun2": abun2}
+        filled_prev = {k: (abun2 if k == "abun2" else d[k]) for k in keys}
+        vel = (np.stack([d["velx"], d["vely"], d["velz"]])
+               if has_vel else None)
         states.append(make_state(d["nh"] * MH / PSI, d["tgas"],
                                  d["nh"] * d["xneu"], abun2=abun2,
-                                 dtype=dtype))
+                                 dtype=dtype, vel=vel))
 
     state = MultiLevelState(levels=tuple(states),
                             refined=tuple(jnp.asarray(r) for r in refined))
@@ -307,9 +317,12 @@ def amr_from_levels(levels, read_metals: bool, dtype=None,
     abun2 = base_dense["abun2"]
     if read_metals and smooth_metals:
         abun2 = grid_io.smooth_metallicity(abun2)
+    has_vel = "velx" in base_dense
+    vel0 = (np.stack([base_dense["velx"], base_dense["vely"],
+                      base_dense["velz"]]) if has_vel else None)
     base = make_state(base_dense["nh"] * MH / PSI, base_dense["tgas"],
                       base_dense["nh"] * base_dense["xneu"],
-                      abun2=abun2, dtype=dtype)
+                      abun2=abun2, dtype=dtype, vel=vel0)
 
     refined = np.zeros((n, n, n), bool)
     if len(levels) > 1 and levels[1].ncell > 0:
@@ -323,12 +336,23 @@ def amr_from_levels(levels, read_metals: bool, dtype=None,
         # fields are everywhere defined
         filled = {}
         ref_f = np.repeat(np.repeat(np.repeat(refined, 2, 0), 2, 1), 2, 2)
-        for k in ("nh", "tgas", "xneu", "abun2"):
-            pb = np.repeat(np.repeat(np.repeat(base_dense[k], 2, 0), 2, 1), 2, 2)
-            filled[k] = np.where(ref_f & (fine_dense[k] > 0), fine_dense[k], pb)
+        keys = ["nh", "tgas", "xneu", "abun2"]
+        if has_vel:
+            keys += ["velx", "vely", "velz"]
+            for k in ("velx", "vely", "velz"):
+                fine_dense.setdefault(k, np.zeros_like(fine_dense["nh"]))
+        got_f = fine_dense["nh"] > 0
+        for k in keys:
+            pb = np.repeat(np.repeat(np.repeat(base_dense.get(
+                k, np.zeros_like(base_dense["nh"])), 2, 0), 2, 1), 2, 2)
+            mask = (fine_dense[k] > 0 if k not in ("abun2", "velx", "vely",
+                                                   "velz") else got_f)
+            filled[k] = np.where(ref_f & mask, fine_dense[k], pb)
+        velf = (np.stack([filled["velx"], filled["vely"], filled["velz"]])
+                if has_vel else None)
         fine = make_state(filled["nh"] * MH / PSI, filled["tgas"],
                           filled["nh"] * filled["xneu"],
-                          abun2=filled["abun2"], dtype=dtype)
+                          abun2=filled["abun2"], dtype=dtype, vel=velf)
     else:
         fine = None
 

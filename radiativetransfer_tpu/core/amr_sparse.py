@@ -249,8 +249,8 @@ def dense_from_sparse(sp: SparseMLState) -> MultiLevelState:
     return MultiLevelState(levels=tuple(levels), refined=tuple(refined))
 
 
-def make_sparse_state(base: FieldState, refined, be: int = 8
-                      ) -> SparseMLState:
+def make_sparse_state(base: FieldState, refined, be: int = 8,
+                      level_hook=None) -> SparseMLState:
     """Build a block-sparse L-level state WITHOUT densifying field data.
 
     base: dense (n,n,n) FieldState; refined: list of L-1 dense bool maps
@@ -259,6 +259,11 @@ def make_sparse_state(base: FieldState, refined, be: int = 8
     prolong-fill from the parent level block by block, mirroring the
     reference's refine-time parent copy (equiSources.f90:1892-1896), so a
     production 128^3 + 3-level grid builds directly at O(leaves) memory.
+
+    level_hook(ell, lv) -> SparseLevel | None: applied to each level as it
+    is built, BEFORE the next level prolong-fills from it — the ingestion
+    path (sparse_from_level_lists) uses it to scatter real field data so
+    deeper levels inherit data-filled (not base-prolonged) values.
     """
     n = base.rho.shape[0]
     L = 1 + len(refined)
@@ -336,6 +341,8 @@ def make_sparse_state(base: FieldState, refined, be: int = 8
                          origin=jnp.asarray(origin),
                          cover=jnp.asarray(cover_blocks),
                          refined=jnp.asarray(ref_blocks))
+        if level_hook is not None:
+            lv = level_hook(ell, lv) or lv
         levels.append(lv)
         parent_level = lv
         if ell < L - 1:     # the finest cover volume is never needed
@@ -345,6 +352,178 @@ def make_sparse_state(base: FieldState, refined, be: int = 8
                          refined0=jnp.asarray(refined[0], bool)
                          if refined else jnp.zeros((n, n, n), bool),
                          levels=tuple(levels))
+
+
+def sparse_from_level_lists(level_lists, read_metals: bool, be: int = 8,
+                            max_depth: int | None = None, dtype=None,
+                            smooth_metals: bool = True):
+    """SparseMLState from ingested per-level cell lists at O(leaves) memory.
+
+    The production ingestion path: the reference inserts every input cell
+    directly into the octree (placeCellProjectWithVelocity,
+    /root/reference/equiSources.f90:1870-1974) so its memory is O(leaves);
+    the dense path (amr.multilevel_from_levels) allocates (n*2^l)^3 float
+    volumes per level and cannot hold a production 128^3 + depth-4 grid.
+    Here only the refinement BITMAPS are dense host-side (bool/int8,
+    affordable to depth ~5); field data goes straight into blocks:
+
+    1. block structure + parent prolong fill via make_sparse_state
+       (the reference's refine-time parent copy, equiSources.f90:1892-1896);
+    2. the REAL level-l cell values scatter into their block slots
+       (volume-weighted averaging when several deeper-than-kept cells land
+       in one kept cell, mirroring io.grid_io.levels_to_dense);
+    3. fine-leaf restriction propagates down (sync_restriction_sparse),
+       so parents of refined cells hold child averages exactly as the
+       dense ingestion does.
+
+    Returns (SparseMLState, GridGeometry).
+    """
+    import jax.numpy as jnp
+
+    from ..constants import MH, MHE, PSI
+    from ..io import grid_io
+    dtype = dtype or jnp.float32
+    level_lists, box = grid_io.normalize_coordinates(level_lists)
+    n = round(level_lists[0].ncell ** (1.0 / 3.0))
+    geom = GridGeometry(n, n, n, box)
+    depth = min(len(level_lists), max_depth or len(level_lists))
+
+    # base level: dense (the base is always fully covered)
+    base_dense = grid_io.levels_to_dense(level_lists[:1], n, read_metals)
+    abun2 = base_dense["abun2"]
+    if read_metals and smooth_metals:
+        abun2 = grid_io.smooth_metallicity(abun2)
+    vel0 = (np.stack([base_dense["velx"], base_dense["vely"],
+                      base_dense["velz"]])
+            if "velx" in base_dense else None)
+    base = make_state(base_dense["nh"] * MH / PSI, base_dense["tgas"],
+                      base_dense["nh"] * base_dense["xneu"], abun2=abun2,
+                      dtype=dtype, vel=vel0)
+
+    # refinement bitmaps (dense bool per PARENT level; deepest is
+    # (n*2^(depth-2))^3 — e.g. 512^3 = 134 MB for 128^3 + 3 levels)
+    refined = []
+    for ell in range(1, depth):
+        n_par = n * 2 ** (ell - 1)
+        r = np.zeros((n_par, n_par, n_par), bool)
+        idx = np.clip((level_lists[ell].pos * n_par).astype(int),
+                      0, n_par - 1)
+        r[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+        refined.append(r)
+    refined = enforce_balance(refined)
+
+    # scatter the real per-level field data into each level's blocks as it
+    # is built, so deeper levels prolong-fill from DATA-filled parents
+    has_vel = vel0 is not None
+
+    def scatter_hook(ell: int, lv: SparseLevel) -> SparseLevel:
+        n_l = n * 2 ** ell
+        slot = np.asarray(lv.slot)
+        nslots = lv.n_blocks * be ** 3
+        lists = (level_lists[ell:] if ell == depth - 1
+                 else level_lists[ell:ell + 1])
+        cols = ["tgas", "nh", "xneu", "abun2"]
+        if has_vel:
+            cols += ["velx", "vely", "velz"]
+        sums = {k: np.zeros(nslots) for k in cols}
+        wsum = np.zeros(nslots)
+        for li, ld in enumerate(lists):
+            if ld.ncell == 0:
+                continue
+            c = np.clip((ld.pos * n_l).astype(np.int64), 0, n_l - 1)
+            t = slot[c[:, 0] // be, c[:, 1] // be, c[:, 2] // be]
+            off = ((c[:, 0] % be) * be + c[:, 1] % be) * be + c[:, 2] % be
+            flat = t * be ** 3 + off
+            ok = t >= 0     # cells outside any block (shouldn't happen
+            #                 for the lists that DEFINED the refinement;
+            #                 possible for deeper absorbed lists)
+            w = 8.0 ** (-li)
+            vals = {
+                "tgas": 10.0 ** ld.lT.astype(np.float64),
+                "nh": 10.0 ** ld.lnH.astype(np.float64),
+                "xneu": 10.0 ** ld.lx.astype(np.float64),
+                "abun2": (ld.abun[:, 1].astype(np.float64)
+                          if ld.abun is not None
+                          else np.full(ld.ncell, 0.02)),
+            }
+            if has_vel:
+                v = (ld.vel.astype(np.float64) if ld.vel is not None
+                     else np.zeros((ld.ncell, 3)))
+                vals.update(velx=v[:, 0], vely=v[:, 1], velz=v[:, 2])
+            fl = flat[ok]
+            for k in cols:
+                np.add.at(sums[k], fl, w * vals[k][ok])
+            np.add.at(wsum, fl, w)
+        got = wsum > 0
+        norm = np.where(got, wsum, 1.0)
+        avg = {k: sums[k] / norm for k in cols}
+        bshape = (lv.n_blocks, be, be, be)
+
+        def put(cur, new_flat):
+            cur = np.asarray(cur, np.float64).reshape(-1)
+            return jnp.asarray(np.where(got, new_flat, cur).reshape(bshape),
+                               dtype)
+
+        f = lv.fields
+        upd = dict(
+            rho=put(f.rho, avg["nh"] * MH / PSI),
+            tgas=put(f.tgas, avg["tgas"]),
+            HI=put(f.HI, avg["nh"] * avg["xneu"]),
+            # ingested helium starts fully neutral where data landed
+            # (placeCellProjectWithVelocity, equiSources.f90:1941-1943)
+            HeI=put(f.HeI, (1.0 - PSI) * (avg["nh"] * MH / PSI) / MHE),
+            HeII=put(f.HeII, np.zeros(nslots)),
+            abun2=put(f.abun2, avg["abun2"]))
+        if has_vel:
+            vcur = np.asarray(f.vel, np.float64).reshape(3, -1)
+            vnew = np.stack([avg["velx"], avg["vely"], avg["velz"]])
+            upd["vel"] = jnp.asarray(
+                np.where(got[None], vnew, vcur).reshape((3,) + bshape),
+                dtype)
+        return dataclasses.replace(lv, fields=dataclasses.replace(f, **upd))
+
+    state = make_sparse_state(base, refined, be=be,
+                              level_hook=scatter_hook)
+    state = sync_restriction_sparse(state)
+    return state, geom
+
+
+def pad_blocks_to_multiple(state: SparseMLState, multiple: int
+                           ) -> SparseMLState:
+    """Append zero padding blocks so every level's block count divides
+    `multiple` (device_put block-axis sharding needs divisibility).
+
+    Extra pad blocks carry the same contract as the standard final padding
+    block — zero fields, cover False, origin out of range — so gathers
+    through them read zeros and scatters to them drop; the slot map never
+    references them (absent tiles route to nb-1, which is itself a zero
+    pad block)."""
+    if multiple <= 1:
+        return state
+    new_levels = []
+    for lv in state.levels:
+        nb, be = lv.n_blocks, lv.be
+        extra = (-nb) % multiple
+        if extra == 0:
+            new_levels.append(lv)
+            continue
+        n_l = lv.slot.shape[0] * be
+
+        def pad(x, extra=extra):
+            if not hasattr(x, "ndim") or x.ndim < 4:
+                return x
+            ax = x.ndim - 4
+            widths = [(0, 0)] * x.ndim
+            widths[ax] = (0, extra)
+            return jnp.pad(x, widths)
+
+        fields = jax.tree_util.tree_map(pad, lv.fields)
+        origin = jnp.concatenate(
+            [lv.origin, jnp.full((extra, 3), n_l, jnp.int32)])
+        new_levels.append(SparseLevel(
+            fields=fields, slot=lv.slot, origin=origin,
+            cover=pad(lv.cover), refined=pad(lv.refined)))
+    return dataclasses.replace(state, levels=tuple(new_levels))
 
 
 def blockify_like(lv: SparseLevel, x):

@@ -123,6 +123,12 @@ def write_snapshot_amr(path: str, state, itime: int,
         "density": leaves(state.base.rho, state.fine.rho).astype(np.float32),
         "abun2": leaves(state.base.abun2, state.fine.abun2).astype(np.float32),
     }
+    if state.base.vel is not None:
+        # the reference writes kinematics for every leaf
+        # (writeIonization, equiSources.f90:4869-4890)
+        for i, c in enumerate("xyz"):
+            data["vel" + c] = leaves(state.base.vel[i],
+                                     state.fine.vel[i]).astype(np.float32)
     np.savez_compressed(path, **data)
 
 
@@ -154,6 +160,11 @@ def read_snapshot_amr(path: str, state) -> tuple["object", int]:
         hei_b, hei_f = fields("HeI")
         heii_b, heii_f = fields("HeII")
         t_b, t_f = fields("temperature")
+        vel_bf = None
+        if "velx" in f and state.base.vel is not None:
+            comps = [fields("vel" + c) for c in "xyz"]
+            vel_bf = (np.stack([c[0] for c in comps]),
+                      np.stack([c[1] for c in comps]))
 
     def clamp(st, hi, hei, heii, tg):
         dt = st.HI.dtype
@@ -169,6 +180,12 @@ def read_snapshot_amr(path: str, state) -> tuple["object", int]:
 
     new_base = clamp(state.base, hi_b, hei_b, heii_b, t_b)
     new_fine = clamp(state.fine, hi_f, hei_f, heii_f, t_f)
+    if vel_bf is not None:
+        dt = state.base.HI.dtype
+        new_base = dataclasses.replace(
+            new_base, vel=jnp.asarray(vel_bf[0], dt))
+        new_fine = dataclasses.replace(
+            new_fine, vel=jnp.asarray(vel_bf[1], dt))
     # fine positions without leaves got zeros from the scatter: fill by
     # prolongation so the dense fine fields stay everywhere defined
     rf = amr_mod.prolong_mask(state.refined)
@@ -183,7 +200,8 @@ def read_snapshot_amr(path: str, state) -> tuple["object", int]:
 
 
 def write_snapshot_ml(path: str, state, itime: int,
-                      physical_box_size: float) -> None:
+                      physical_box_size: float,
+                      extra: dict | None = None) -> None:
     """Write an L-level MultiLevelState in depth-first cellArray leaf order
     (the SFC codec handles arbitrary nesting)."""
     from . import sfc
@@ -206,8 +224,17 @@ def write_snapshot_ml(path: str, state, itime: int,
         "temperature": leaves("tgas"), "density": leaves("rho"),
         "abun2": leaves("abun2"),
     }
+    if state.levels[0].vel is not None:
+        # kinematics for every leaf (writeIonization,
+        # equiSources.f90:4869-4890)
+        for i, c in enumerate("xyz"):
+            data["vel" + c] = sfc.gather_leaves(
+                enum, [np.asarray(lv.vel[i], np.float64)
+                       for lv in state.levels]).astype(np.float32)
     for ell, r in enumerate(refined_np):
         data[f"refined_{ell}"] = r
+    if extra:
+        data.update(extra)
     np.savez_compressed(path, **data)
 
 
@@ -240,6 +267,11 @@ def read_snapshot_ml(path: str, state) -> tuple["object", int]:
 
         his, heis, heiis, ts = (fields("HI"), fields("HeI"),
                                 fields("HeII"), fields("temperature"))
+        vels = None
+        if "velx" in f and state.levels[0].vel is not None:
+            comps = [fields("vel" + c) for c in "xyz"]
+            vels = [np.stack([c[ell] for c in comps])
+                    for ell in range(L)]
 
     def clamp(st, hi, hei, heii, tg):
         dt = st.HI.dtype
@@ -255,6 +287,10 @@ def read_snapshot_ml(path: str, state) -> tuple["object", int]:
 
     new_levels = [clamp(lv, his[ell], heis[ell], heiis[ell], ts[ell])
                   for ell, lv in enumerate(state.levels)]
+    if vels is not None:
+        dt = state.levels[0].HI.dtype
+        new_levels = [dataclasses.replace(lv, vel=jnp.asarray(vels[ell], dt))
+                      for ell, lv in enumerate(new_levels)]
     # non-leaf positions got zeros from the scatter: fill by prolongation
     # so the dense fields stay everywhere defined
     for ell in range(1, L):
@@ -270,6 +306,223 @@ def read_snapshot_ml(path: str, state) -> tuple["object", int]:
     state = amr_mod.MultiLevelState(levels=tuple(new_levels),
                                     refined=state.refined)
     return amr_mod.sync_restriction_multi(state), itime
+
+
+# --------------------------------------------------------------------------
+# non-equilibrium prognostic state (VERDICT r3 missing-5)
+# --------------------------------------------------------------------------
+
+SPECIES_FIELDS = ("HI", "HII", "HeI", "HeII", "HeIII", "de", "HM", "H2I",
+                  "H2II", "eint")
+
+
+def species_extra(species, prefix: str = "species0") -> dict:
+    """Snapshot payload for a chemistry_noneq.SpeciesState (full precision:
+    the 9-species abundances + internal energy are PROGNOSTIC — on restart
+    they must continue, not re-derive from equilibrium guesses; the
+    reference's restart restores all prognostic fields,
+    /root/reference/equiSources.f90:1071-1167).
+
+    For multi-level runs call once per level with prefix f"species{ell}"."""
+    return {f"{prefix}_{k}": np.asarray(getattr(species, k))
+            for k in SPECIES_FIELDS}
+
+
+def read_species(path: str, template):
+    """Restore the 9-species state(s) from a snapshot, or None if the
+    snapshot carries none (e.g. written by an equilibrium run).
+
+    template: a SpeciesState (uniform runs) or tuple of per-level
+    SpeciesStates (nested runs) supplying dtypes/shapes."""
+    from ..core.chemistry_noneq import SpeciesState
+    single = not isinstance(template, tuple)
+    temps = (template,) if single else template
+    out = []
+    with np.load(path) as f:
+        for ell, t in enumerate(temps):
+            if f"species{ell}_HI" not in f:
+                return None
+            dt = t.HI.dtype
+            out.append(SpeciesState(**{
+                k: jnp.asarray(f[f"species{ell}_{k}"], dt)
+                for k in SPECIES_FIELDS}))
+    return out[0] if single else tuple(out)
+
+
+def _sparse_leaf_maps(state):
+    """(refined bitmaps for SFC enumeration, per-level leaf gather info).
+
+    Reconstructs the dense per-level refinement bitmaps the SFC codec needs
+    from block storage (uint8, affordable host-side to depth ~5: the
+    deepest needed bitmap lives at level L-2)."""
+    from ..core import amr_sparse
+    n = state.n
+    L = state.n_levels
+    refined = [np.asarray(state.refined0, np.uint8)]
+    for ell in range(1, L - 1):
+        lv = state.levels[ell - 1]
+        refined.append(np.asarray(amr_sparse.unblockify_like(
+            lv, np.asarray(lv.refined), fill=False), np.uint8))
+    return refined
+
+
+def _sparse_block_index(state, level: np.ndarray, src: np.ndarray):
+    """Map SFC leaves (level, dense flat src) to per-level gather indices.
+
+    Returns list of (leaf positions in the SFC order, flat index into the
+    level's block storage) per level; level 0 indexes the dense base."""
+    n = state.n
+    out = []
+    for ell in range(state.n_levels):
+        sel = np.nonzero(level == ell)[0]
+        s = src[sel]
+        if ell == 0:
+            out.append((sel, s))
+            continue
+        lv = state.levels[ell - 1]
+        be = lv.be
+        n_l = n * 2 ** ell
+        i, rem = np.divmod(s, n_l * n_l)
+        j, k = np.divmod(rem, n_l)
+        slot = np.asarray(lv.slot)
+        t = slot[i // be, j // be, k // be]
+        if np.any(t < 0):
+            raise ValueError("SFC leaf maps to an absent block "
+                             "(inconsistent sparse structure)")
+        off = ((i % be) * be + j % be) * be + k % be
+        out.append((sel, t * be ** 3 + off))
+    return out
+
+
+def write_snapshot_sparse(path: str, state, itime: int,
+                          physical_box_size: float) -> None:
+    """Write a block-sparse SparseMLState in depth-first cellArray leaf
+    order at O(leaves) file size (writeIonization works at any octree
+    depth, /root/reference/equiSources.f90:4797-4912; block structure is
+    recorded as per-level origins, O(blocks), not dense bitmaps)."""
+    from . import sfc
+    n = state.n
+    refined = _sparse_leaf_maps(state)
+    enum = sfc.enumerate_leaves(n, n, n, refined)
+    level, src = enum["level"], enum["src"]
+    gather = _sparse_block_index(state, level, src)
+
+    def leaves(attr, comp=None):
+        out = np.zeros(level.shape[0], np.float32)
+        for ell, (sel, idx) in enumerate(gather):
+            f = (state.base if ell == 0
+                 else state.levels[ell - 1].fields)
+            a = getattr(f, attr)
+            if comp is not None:
+                a = a[comp]
+            out[sel] = np.asarray(a, np.float32).reshape(-1)[idx]
+        return out
+
+    data = {
+        "base_grid_size": np.array(state.base.shape, np.int32),
+        "itime": np.int32(itime),
+        "physical_box_size": np.float64(physical_box_size),
+        "n_levels": np.int32(state.n_levels),
+        "storage": np.str_("sparse"),
+        "level": level.astype(np.int32),
+        "HI": leaves("HI"), "HeI": leaves("HeI"), "HeII": leaves("HeII"),
+        "temperature": leaves("tgas"), "density": leaves("rho"),
+        "abun2": leaves("abun2"),
+    }
+    if state.base.vel is not None:
+        data["velx"] = leaves("vel", 0)
+        data["vely"] = leaves("vel", 1)
+        data["velz"] = leaves("vel", 2)
+    for ell in range(1, state.n_levels):
+        # real blocks only: padding blocks (origin out of range) vary with
+        # runtime concerns like mesh-divisibility padding
+        o = np.asarray(state.levels[ell - 1].origin, np.int32)
+        n_l = state.n * 2 ** ell
+        data[f"origin_{ell}"] = o[o[:, 0] < n_l]
+    np.savez_compressed(path, **data)
+
+
+def read_snapshot_sparse(path: str, state) -> tuple["object", int]:
+    """Re-inflate a sparse snapshot onto an existing SparseMLState
+    (restart): structure is rebuilt from the input grid (as the reference
+    does) and validated by leaf count + block origins
+    (equiSources.f90:1124-1127), leaf values scatter into the blocks with
+    the reference's species clamps, and restriction syncs parents."""
+    import jax.numpy as jnp
+
+    from ..core import amr_sparse
+    from . import sfc
+    n = state.n
+    with np.load(path) as f:
+        itime = int(f["itime"])
+        if int(f["n_levels"]) != state.n_levels:
+            raise ValueError("snapshot depth differs from the state")
+        for ell in range(1, state.n_levels):
+            o = np.asarray(state.levels[ell - 1].origin, np.int32)
+            o = o[o[:, 0] < n * 2 ** ell]
+            if not np.array_equal(f[f"origin_{ell}"], o):
+                raise ValueError(
+                    "snapshot block structure differs from the state "
+                    "(structure is rebuilt from the input grid, "
+                    "equiSources.f90:1124-1127)")
+        refined = _sparse_leaf_maps(state)
+        enum = sfc.enumerate_leaves(n, n, n, refined)
+        level, src = enum["level"], enum["src"]
+        if level.shape[0] != f["HI"].shape[0]:
+            raise ValueError("snapshot leaf count differs from the state")
+        gather = _sparse_block_index(state, level, src)
+        vals = {k: f[k].astype(np.float64)
+                for k in ("HI", "HeI", "HeII", "temperature")}
+        has_vel = "velx" in f and state.base.vel is not None
+        if has_vel:
+            vals.update({k: f[k].astype(np.float64)
+                         for k in ("velx", "vely", "velz")})
+
+    def scatter(attr, key, comp=None):
+        """Snapshot leaf values -> per-level arrays (base dense + blocks),
+        leaving non-leaf slots at their current values."""
+        out = []
+        for ell, (sel, idx) in enumerate(gather):
+            f_lv = (state.base if ell == 0
+                    else state.levels[ell - 1].fields)
+            a = getattr(f_lv, attr)
+            if comp is not None:
+                a = a[comp]
+            cur = np.array(np.asarray(a, np.float64).reshape(-1))
+            cur[idx] = vals[key][sel]
+            out.append(cur.reshape(np.asarray(a).shape))
+        return out
+
+    his = scatter("HI", "HI")
+    heis = scatter("HeI", "HeI")
+    heiis = scatter("HeII", "HeII")
+    ts = scatter("tgas", "temperature")
+    vels = None
+    if has_vel:
+        vels = [np.stack([scatter("vel", "vel" + c, i)[ell]
+                          for i, c in enumerate("xyz")])
+                for ell in range(state.n_levels)]
+
+    def clamp(st, ell):
+        dt = st.HI.dtype
+        nh, nhe = st.nh, st.nhe
+        hi = jnp.clip(jnp.asarray(his[ell], dt), 0.0, nh)
+        hei = jnp.maximum(jnp.asarray(heis[ell], dt), 0.0)
+        heii = jnp.maximum(jnp.asarray(heiis[ell], dt), 0.0)
+        tot = hei + heii
+        scale = jnp.where(tot > nhe, nhe / jnp.where(tot > 0, tot, 1.0), 1.0)
+        upd = dict(HI=hi, HeI=hei * scale, HeII=heii * scale,
+                   tgas=jnp.asarray(ts[ell], dt))
+        if vels is not None:
+            upd["vel"] = jnp.asarray(vels[ell], dt)
+        return dataclasses.replace(st, **upd)
+
+    new_base = clamp(state.base, 0)
+    new_levels = tuple(
+        dataclasses.replace(lv, fields=clamp(lv.fields, ell))
+        for ell, lv in enumerate(state.levels, start=1))
+    state = dataclasses.replace(state, base=new_base, levels=new_levels)
+    return amr_sparse.sync_restriction_sparse(state), itime
 
 
 def latest_snapshot(directory: str = ".") -> str | None:

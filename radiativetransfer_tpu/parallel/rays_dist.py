@@ -253,7 +253,7 @@ def trace_point_sources_ml_dist(ml_state, geom, sources: SourceBatch,
            frozenset(tables_dev))
     fn = _DIST_TRACER_CACHE.get(key)
     if fn is None:
-        rf_struct = _rate_fields_struct("table", n, dtype)
+        rf_struct = _rate_fields_struct(rates_mode, n, dtype)
         out_specs = (
             tuple(jax.tree_util.tree_map(lambda _: field_spec, rf_struct)
                   for _ in range(L)),
@@ -349,7 +349,7 @@ def trace_point_sources_amr_dist(amr_state, geom, sources: SourceBatch,
            frozenset(tables_dev))
     fn = _DIST_TRACER_CACHE.get(key)
     if fn is None:
-        rf_struct = _rate_fields_struct("table", n, dtype)
+        rf_struct = _rate_fields_struct(rates_mode, n, dtype)
         out_specs = (
             jax.tree_util.tree_map(lambda _: field_spec, rf_struct),
             jax.tree_util.tree_map(lambda _: field_spec, rf_struct),

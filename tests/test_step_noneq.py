@@ -260,3 +260,110 @@ class TestNoneqSharded:
                                    np.asarray(st_ref.HI), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(spc_d.HI),
                                    np.asarray(spc_ref.HI), rtol=1e-9)
+
+
+class TestSpeciesCheckpoint:
+    """The prognostic 9-species state checkpoints and restores exactly
+    (VERDICT r3 missing-5; the reference restores ALL prognostic fields on
+    restart, equiSources.f90:1071-1167)."""
+
+    def test_species_snapshot_round_trip(self, tmp_path):
+        from radiativetransfer_tpu.io import snapshot
+        from radiativetransfer_tpu.core.state import uniform_state
+        state = uniform_state(6, nh=1e-4, tgas=2e4, dtype=jnp.float64)
+        species = cn.species_from_field_state(state, f_h2=1e-4, f_hm=1e-7)
+        p = str(tmp_path / "cellArray0001.npz")
+        snapshot.write_snapshot(p, state, 1, 1e23,
+                                extra=snapshot.species_extra(species))
+        blank = cn.species_from_field_state(state)   # no H2 -- must differ
+        restored = snapshot.read_species(p, blank)
+        assert restored is not None
+        for k in snapshot.SPECIES_FIELDS:
+            np.testing.assert_array_equal(np.asarray(getattr(restored, k)),
+                                          np.asarray(getattr(species, k)),
+                                          err_msg=k)
+        assert float(jnp.max(restored.H2I)) > 0.0
+
+    def test_species_absent_returns_none(self, tmp_path):
+        from radiativetransfer_tpu.io import snapshot
+        from radiativetransfer_tpu.core.state import uniform_state
+        state = uniform_state(6, dtype=jnp.float64)
+        p = str(tmp_path / "cellArray0001.npz")
+        snapshot.write_snapshot(p, state, 1, 1e23)
+        assert snapshot.read_species(
+            p, cn.species_from_field_state(state)) is None
+
+    def test_species_multilevel_round_trip(self, tmp_path):
+        from radiativetransfer_tpu.core import amr
+        from radiativetransfer_tpu.io import snapshot
+        from radiativetransfer_tpu.core.state import uniform_state
+        n = 8
+        refined = np.zeros((n, n, n), bool)
+        refined[2:5, 2:5, 2:5] = True
+        ml = amr.make_multilevel_state(
+            uniform_state(n, nh=1e-4, dtype=jnp.float64), [refined])
+        species = tuple(cn.species_from_field_state(lv, f_h2=1e-5)
+                        for lv in ml.levels)
+        extra = {}
+        for ell, spc in enumerate(species):
+            extra.update(snapshot.species_extra(spc,
+                                                prefix=f"species{ell}"))
+        p = str(tmp_path / "cellArray0001.npz")
+        snapshot.write_snapshot_ml(p, ml, 1, 1e23, extra=extra)
+        blank = tuple(cn.species_from_field_state(lv) for lv in ml.levels)
+        restored = snapshot.read_species(p, blank)
+        assert isinstance(restored, tuple) and len(restored) == 2
+        for ell in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(restored[ell].H2I),
+                np.asarray(species[ell].H2I), err_msg=f"level {ell}")
+
+
+class TestNestedNoneqSharded:
+    """Sharded nested-grid noneq (VERDICT r3 item 4c): the L-level noneq
+    step on a virtual mesh matches single-device."""
+
+    def test_ml_noneq_sharded_matches_single(self):
+        from radiativetransfer_tpu.core import amr, step_amr
+        from radiativetransfer_tpu.core.state import uniform_state
+        from radiativetransfer_tpu.parallel import mesh as pmesh
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        n = 16
+        cfg = RunConfig(mode=MODE_BOTH_STELLAR_UVB_TRANSFER,
+                        current_redshift=6.55, n_angular_level=1,
+                        reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 100.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        amodel = step_amr.MultiLevelModel.setup(rt, 2)
+        refined = np.zeros((n, n, n), bool)
+        refined[6:10, 6:10, 6:10] = True
+        base = rt.initialize_equilibrium(
+            uniform_state(n, nh=1e-4, tgas=2e4, dtype=jnp.float64))
+        ml = amr.make_multilevel_state(base, [refined])
+        ml = amr.sync_restriction_multi(ml)
+        species = tuple(cn.species_from_field_state(lv)
+                        for lv in ml.levels)
+        ctx = _stellar_ctx(geom, n, noneq=True)
+
+        st_ref, spc_ref, diag_ref = amodel.make_noneq_step(
+            5.0 * MYR, ctx, n_substeps=50)(ml, species)
+
+        mesh = pmesh.make_grid_mesh(8)
+        ml_sh = pmesh.shard_multilevel_state(ml, mesh)
+        spc_sh = tuple(pmesh.shard_species(s, mesh) for s in species)
+        st_d, spc_d, diag_d = amodel.make_noneq_step(
+            5.0 * MYR, ctx, n_substeps=50, mesh=mesh)(ml_sh, spc_sh)
+
+        for ell in range(2):
+            np.testing.assert_allclose(
+                np.asarray(st_d.levels[ell].HI),
+                np.asarray(st_ref.levels[ell].HI), rtol=1e-9,
+                err_msg=f"level {ell}")
+            np.testing.assert_allclose(
+                np.asarray(spc_d[ell].H2I),
+                np.asarray(spc_ref[ell].H2I), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_ref.ndot_remaining),
+                                   rtol=1e-9)
