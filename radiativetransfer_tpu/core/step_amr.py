@@ -107,7 +107,14 @@ class AMRModel:
     def _traced(self, state: amr.AMRState, stellar, mesh):
         """The point-source phase of step(), without sweep/chemistry."""
         rt = self.rt
-        if mesh is not None:
+        if mesh is not None and rt.config.tracer_strategy == "domain":
+            from ..parallel import rays_domain
+            rfb, rff, diag = rays_domain.trace_point_sources_domain_amr(
+                state, rt.geom, stellar.sources, stellar.tables, mesh,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.base.rho.dtype)
+        elif mesh is not None:
             from ..parallel import rays_dist
             rfb, rff, diag = rays_dist.trace_point_sources_amr_dist(
                 state, rt.geom, stellar.sources, stellar.tables, mesh,
