@@ -395,6 +395,122 @@ def _trace_all_phases_ml(fields, init_state, tables, geom, n_levels,
 _TRACER_CACHE: dict = {}
 
 
+def _trace_all_phases_ml_host(fields, init_state, tables_dev, *, geom,
+                              n_levels, n_sources, dust_approximation,
+                              max_pixel_level, dtype, rates_mode,
+                              rel_kill=None, chunk_steps: int = 512):
+    """Host-driven variant of _trace_all_phases_ml: every phase marches as
+    repeated jitted `chunk_steps`-step dispatches with ONE dispatch in
+    flight at a time (alive count fetched between chunks ends phases
+    early).
+
+    At production deep-AMR scale the final phase's single while_loop
+    dispatch runs for many minutes (max_steps = 12 * nF + 64 fine steps),
+    which exceeds what the remote TPU worker tolerates and kills it;
+    bounded dispatches keep each call to seconds.  Numerically identical
+    to the jittable path: _march_phase_ml's per-chunk accumulators are
+    additive and re-entry with dead rays is a no-op.
+    """
+    n = geom.nx
+    if rel_kill is None:
+        rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
+    nF = n * 2 ** (n_levels - 1)
+    rmax = rmax_table()
+    diag = RayDiagnostics.zeros(n_sources, dtype)
+    rf_cls, n_ch = ((NoneqRateFields, 11)
+                    if rates_mode == "quadrature_noneq"
+                    else (RateFields, 6))
+    rfs = tuple(rf_cls(*[jnp.zeros(fields[f"lv{ell}"].shape[0], dtype)
+                         for _ in range(n_ch)])
+                for ell in range(n_levels))
+    if rates_mode == "quadrature_noneq":
+        ctx_arrays = (jnp.asarray(tables_dev["quad_A"], dtype),
+                      jnp.asarray(tables_dev["quad_W"], dtype),
+                      jnp.asarray(tables_dev["quad_W27"], dtype))
+    elif rates_mode == "quadrature":
+        ctx_arrays = (jnp.asarray(tables_dev["quad_A"], dtype),
+                      jnp.asarray(tables_dev["quad_W"], dtype))
+    else:
+        ctx_arrays = _pack_tables(tables_dev["reaction_log"],
+                                  tables_dev["energy_log"])
+    sig_ratio = jnp.stack([
+        jnp.asarray(tables_dev["output_sigma24"], dtype) / SIGMA24_AT_NU1,
+        jnp.asarray(tables_dev["output_sigma26"], dtype) / SIGMA26_AT_NU2,
+        jnp.asarray(tables_dev["output_sigma25"], dtype) / SIGMA25_AT_NU3,
+        jnp.asarray(tables_dev["output_sigma_dust"], dtype)
+        / SIGMA_DUST_AT_NU1])
+    state = init_state
+
+    def get_runner(level, last, r_stop):
+        key = ("ml-host-chunk", geom, n_levels, n_sources,
+               dust_approximation, level, last, r_stop, chunk_steps,
+               jnp.dtype(dtype).name, rates_mode, rel_kill)
+        fn = _TRACER_CACHE.get(key)
+        if fn is None:
+            def run(state, fields, ctx_arrays, diag, rfs, src_of_ray):
+                rate_ctx = (rates_mode, ctx_arrays)
+                state, diag, rfs = _march_phase_ml(
+                    state, fields, geom, n_levels, rate_ctx, diag, rfs,
+                    r_stop, last, dust_approximation, chunk_steps,
+                    src_of_ray, rel_kill=rel_kill)
+                return state, diag, rfs, jnp.sum(
+                    state.alive.astype(jnp.int32))
+            fn = _TRACER_CACHE[key] = jax.jit(run)
+        return fn
+
+    def get_flush(level, last):
+        key = ("ml-host-flush", geom, n_levels, n_sources, level, last,
+               jnp.dtype(dtype).name)
+        fn = _TRACER_CACHE.get(key)
+        if fn is None:
+            def flush(state, diag, sig_ratio, src_of_ray):
+                spec_tau = state.cross_depth @ sig_ratio
+                contrib = jnp.where(
+                    state.crossed[:, None],
+                    state.ndot[:, None] * jnp.exp(-spec_tau), 0.0)
+                diag = dataclasses.replace(
+                    diag, ndot_spectrum=diag.ndot_spectrum
+                    .at[src_of_ray].add(contrib))
+                state = dataclasses.replace(
+                    state, crossed=jnp.zeros_like(state.crossed))
+                if not last:
+                    state, in_box, was_split = _split_rays(
+                        state, level, n, dtype, cell_grid=nF)
+                    lost = was_split & ~in_box
+                    out_radii = jnp.asarray(
+                        np.array(OUTPUT_RADII_KPC) * KPC, dtype)
+                    r2 = state.radius * geom.cell_size
+                    beyond = out_radii[None, :] > r2[:, None]
+                    src4 = jnp.repeat(src_of_ray, 4)
+                    diag = dataclasses.replace(
+                        diag, ndot_boundary=diag.ndot_boundary
+                        .at[src4].add(jnp.where(beyond & lost[:, None],
+                                                state.ndot[:, None], 0.0)))
+                return state, diag
+            fn = _TRACER_CACHE[key] = jax.jit(flush)
+        return fn
+
+    for level in range(1, max_pixel_level + 1):
+        last = level == max_pixel_level
+        r_stop = float(rmax[level - 1])
+        max_steps = (int(12 * nF + 64) if last
+                     else int(6 * 2 ** (n_levels - 1) * (r_stop + 2) + 32))
+        rays_per_source = 12 * 4 ** (level - 1)
+        src_of_ray = jnp.repeat(jnp.arange(n_sources, dtype=jnp.int32),
+                                rays_per_source)
+        runner = get_runner(level, last, r_stop)
+        steps = 0
+        while steps < max_steps:
+            state, diag, rfs, cnt = runner(state, fields, ctx_arrays,
+                                           diag, rfs, src_of_ray)
+            steps += chunk_steps
+            if int(cnt) == 0:       # also syncs: one dispatch in flight
+                break
+        state, diag = get_flush(level, last)(state, diag, sig_ratio,
+                                             src_of_ray)
+    return rfs, diag
+
+
 def trace_point_sources_ml(ml_state, geom, sources: SourceBatch, tables,
                            dust_approximation: int = NO_DUST,
                            max_pixel_level: int = MAX_PIXEL_LEVEL,
@@ -435,7 +551,9 @@ def trace_point_sources_ml(ml_state, geom, sources: SourceBatch, tables,
 def trace_point_sources_sparse(sp_state, geom, sources: SourceBatch, tables,
                                dust_approximation: int = NO_DUST,
                                max_pixel_level: int = MAX_PIXEL_LEVEL,
-                               dtype=jnp.float64, rates_mode: str = "auto"):
+                               dtype=jnp.float64, rates_mode: str = "auto",
+                               host_phases: bool = False,
+                               chunk_steps: int = 512):
     """Trace sources through a block-sparse SparseMLState (amr_sparse).
 
     Identical marching to trace_point_sources_ml — only the addressing
@@ -470,6 +588,15 @@ def trace_point_sources_sparse(sp_state, geom, sources: SourceBatch, tables,
     state = dataclasses.replace(
         state, cell=jnp.clip((state.pos * nF).astype(jnp.int32), 0, nF - 1))
     tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+    if host_phases:
+        # production deep grids: bounded per-chunk dispatches (see
+        # _trace_all_phases_ml_host); must be called eagerly
+        return _trace_all_phases_ml_host(
+            fields, state, tables_dev, geom=geom, n_levels=L,
+            n_sources=sources.n_sources,
+            dust_approximation=dust_approximation,
+            max_pixel_level=max_pixel_level, dtype=dtype,
+            rates_mode=rates_mode, chunk_steps=chunk_steps)
     key = ("sparse", geom, L, sources.n_sources, dust_approximation,
            max_pixel_level, jnp.dtype(dtype).name, rates_mode)
     if key not in _TRACER_CACHE:

@@ -456,6 +456,13 @@ class SparseMLModel:
     n_levels: int
     plan: "object"
     n_coupling_iters: int = 4
+    # sweep direction-chunk width: bounds the Gauss-Seidel estimate
+    # planes' footprint at the finest cross-section (the deep-grid memory
+    # driver); smaller = less HBM per launch, more launches
+    max_dirs_per_launch: int = 4
+    # per-chunk eager dispatch (set by make_step(split_compile=True)):
+    # bounds each device dispatch below the remote worker's RPC deadline
+    _eager_zones: bool = False
 
     @classmethod
     def setup(cls, rt_model, n_levels: int) -> "SparseMLModel":
@@ -491,7 +498,8 @@ class SparseMLModel:
             state, rt.geom, stellar.sources, stellar.tables,
             dust_approximation=stellar.dust_approximation,
             max_pixel_level=stellar.max_pixel_level,
-            dtype=state.base.rho.dtype)
+            dtype=state.base.rho.dtype,
+            host_phases=self._eager_zones)
         names = ("krate24", "krate25", "krate26",
                  "crate24", "crate25", "crate26")
         base = dataclasses.replace(state.base, **{
@@ -518,7 +526,9 @@ class SparseMLModel:
             for lv in state.levels]
         j0, jbs = sweep_sparse.diffuse_sweep_sparse(
             k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
-            rt.geom.cell_size, n_coupling_iters=self.n_coupling_iters)
+            rt.geom.cell_size, n_coupling_iters=self.n_coupling_iters,
+            max_dirs_per_launch=self.max_dirs_per_launch,
+            eager_zones=self._eager_zones)
         return dataclasses.replace(
             state,
             base=dataclasses.replace(state.base, Jmean=j0),
@@ -567,6 +577,7 @@ class SparseMLModel:
         restriction tail as one jit — the monolithic whole-step XLA
         program at the largest deep-AMR configs exceeds what the remote
         TPU worker tolerates, while the per-piece compiles are fine."""
+        self._eager_zones = split_compile
         if split_compile:
             zero = lambda s: dataclasses.replace(
                 s, base=s.base.zero_rates(),
@@ -575,14 +586,23 @@ class SparseMLModel:
                     for lv in s.levels))
             chem = jax.jit(self._chemistry_and_sync)
 
+            def sync(x):
+                # one phase in flight at a time: queueing several long
+                # executions kills the remote TPU worker, and
+                # block_until_ready does not block through the axon relay
+                # — only a data-dependent scalar fetch does
+                float(jnp.max(x.reshape(-1)[:8]))
+
             def step_split(state):
                 state = zero(state)
                 diag = None
                 if stellar is not None:
                     state, diag = self._traced(state, stellar)
+                    sync(state.base.krate24)
                 if self.rt.config.run_uvb_transfer:
                     state = self._apply_sweep(state)   # eager: per-group
                 state = chem(state)
+                sync(state.base.HI)
                 return (state, diag) if stellar is not None else state
 
             return step_split

@@ -26,6 +26,8 @@ tiles gather the all-zero padding block, so no NaNs propagate).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,7 +211,8 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
 def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
                          plan: MLSweepPlan, uvb, cell_size,
                          n_coupling_iters: int = 4,
-                         max_dirs_per_launch: int = 4):
+                         max_dirs_per_launch: int = 4,
+                         eager_zones: bool = False):
     """Full block-sparse L-level sweep.
 
     k0: (3, n, n, n) base opacity; lv_kappas[l-1]: (3, nb, be, be, be)
@@ -221,6 +224,14 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
     through one lax.scan whose body rotates via lax.switch over the 24
     octant transforms (slot volumes with rotate_to_sweep, block data with
     rotate_blocks_to_sweep).
+
+    eager_zones: dispatch one jitted call per direction chunk instead of
+    one scan over all chunks.  At production deep-AMR scale a chunk takes
+    tens of seconds of device time; a single dispatch spanning all 24
+    zones runs for minutes and exceeds the remote-TPU worker's RPC
+    deadline, which kills the worker ("TPU worker crashed") — bounded
+    dispatches keep each call under it (SparseMLModel.make_step's
+    split_compile turns this on together with per-piece compiles).
     """
     L = state.n_levels
     n = state.n
@@ -255,6 +266,53 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
                              for p in zone.params))
             groups.setdefault(chunk.ndir, []).append(chunk)
 
+    body = functools.partial(_chunk_body, L=L, weight=plan.weight,
+                             n_coupling_iters=n_coupling_iters)
+    ctx = (k0_l, refined0, tuple(
+        (d["kappa"], d["cover"], d["refined"], d["slot"]) for d in lv_data))
+
+    if eager_zones:
+        one = _get_eager_runner(L, plan.weight, n_coupling_iters)
+        for zones in groups.values():
+            for z in zones:
+                j0_acc, jb_acc = one(
+                    (j0_acc, tuple(jb_acc)),
+                    (jnp.asarray(z.izone - 1, jnp.int32),
+                     tuple({key: jnp.asarray(v)
+                            for key, v in z.params[l].items()}
+                           for l in range(L))),
+                    ctx, uvb, cell_size)
+                jb_acc = list(jb_acc)
+                # one dispatch in flight at a time: queueing several
+                # tens-of-seconds executions kills the remote TPU worker
+                # (block_until_ready does NOT block through the axon
+                # relay — a data-dependent scalar fetch does)
+                float(jnp.max(j0_acc[0, 0, 0]))
+    else:
+        for zones in groups.values():
+            izones = jnp.asarray([z.izone - 1 for z in zones], jnp.int32)
+            stacked = tuple(
+                {key: jnp.asarray(np.stack([z.params[l][key]
+                                            for z in zones]))
+                 for key in zones[0].params[l]}
+                for l in range(L))
+            (j0_acc, jb_acc), _ = jax.lax.scan(
+                lambda carry, x: (body(carry, x, ctx, uvb, cell_size),
+                                  None),
+                (j0_acc, tuple(jb_acc)), (izones, stacked))
+            jb_acc = list(jb_acc)
+
+    return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)
+
+
+def _chunk_body(carry, x, ctx, uvb, cell_size, *, L, weight,
+                n_coupling_iters):
+    """One direction chunk: rotate in (lax.switch over the 24 octant
+    transforms), sweep, rotate out, accumulate."""
+    k0_l, refined0, lv_arrays = ctx
+    lv_data = [{"kappa": a, "cover": c, "refined": r, "slot": s}
+               for (a, c, r, s) in lv_arrays]
+
     def rot_in(iz):
         def f(_):
             k0r = jnp.moveaxis(octants.rotate_to_sweep(k0_l, iz), -1, 1)
@@ -262,7 +320,8 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
             lvr = tuple(
                 {"kappa": octants.rotate_blocks_to_sweep(d["kappa"], iz),
                  "cover": octants.rotate_blocks_to_sweep(d["cover"], iz),
-                 "refined": octants.rotate_blocks_to_sweep(d["refined"], iz),
+                 "refined": octants.rotate_blocks_to_sweep(d["refined"],
+                                                           iz),
                  "slot": octants.rotate_to_sweep(d["slot"], iz)}
                 for d in lv_data)
             return k0r, r0r, lvr
@@ -272,36 +331,35 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
         def f(js):
             j0, jbs = js
             j0u = octants.rotate_from_sweep(jnp.moveaxis(j0, 1, -1), iz)
-            jbu = tuple(octants.rotate_blocks_from_sweep(j, iz) for j in jbs)
+            jbu = tuple(octants.rotate_blocks_from_sweep(j, iz)
+                        for j in jbs)
             return j0u, jbu
         return f
 
-    in_branches = [rot_in(iz) for iz in range(1, 25)]
-    out_branches = [rot_out(iz) for iz in range(1, 25)]
-
-    for zones in groups.values():
-        izones = jnp.asarray([z.izone - 1 for z in zones], jnp.int32)
-        stacked = tuple(
-            {key: jnp.asarray(np.stack([z.params[l][key] for z in zones]))
-             for key in zones[0].params[l]}
-            for l in range(L))
-
-        def body(carry, x):
-            iz, pars = x
-            k0r, r0r, lvr = jax.lax.switch(iz, in_branches, None)
-            j0r, jfl = sweep_zone_sparse(
-                k0r, r0r, list(lvr), pars, uvb, cell_size, plan.weight,
-                n_coupling_iters)
-            jbs = tuple(
-                jf.reshape((3,) + lv_data[e]["cover"].shape)
+    iz, pars = x
+    k0r, r0r, lvr = jax.lax.switch(iz, [rot_in(z) for z in range(1, 25)],
+                                   None)
+    j0r, jfl = sweep_zone_sparse(k0r, r0r, list(lvr), pars, uvb, cell_size,
+                                 weight, n_coupling_iters)
+    jbs = tuple(jf.reshape((3,) + lv_data[e]["cover"].shape)
                 for e, jf in enumerate(jfl))
-            j0u, jbu = jax.lax.switch(iz, out_branches, (j0r, jbs))
-            j0_a, jb_a = carry
-            return (j0_a + j0u,
-                    tuple(a + b for a, b in zip(jb_a, jbu))), None
+    j0u, jbu = jax.lax.switch(iz, [rot_out(z) for z in range(1, 25)],
+                              (j0r, jbs))
+    j0_a, jb_a = carry
+    return j0_a + j0u, tuple(a + b for a, b in zip(jb_a, jbu))
 
-        (j0_acc, jb_acc), _ = jax.lax.scan(
-            body, (j0_acc, tuple(jb_acc)), (izones, stacked))
-        jb_acc = list(jb_acc)
 
-    return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)
+_EAGER_RUNNER_CACHE: dict = {}
+
+
+def _get_eager_runner(L: int, weight: float, n_coupling_iters: int):
+    """Persistent jitted per-chunk runner (cached so production loops
+    reuse the compiled executable across iterations; jit itself caches
+    per array-shape signature)."""
+    key = (L, float(weight), n_coupling_iters)
+    fn = _EAGER_RUNNER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_chunk_body, L=L, weight=weight,
+                                       n_coupling_iters=n_coupling_iters))
+        _EAGER_RUNNER_CACHE[key] = fn
+    return fn

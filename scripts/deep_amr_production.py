@@ -52,6 +52,7 @@ def main():
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--angular", type=int, default=3)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--dirs-per-launch", type=int, default=4)
     ap.add_argument("--eager", action="store_true",
                     help="run the sweep+chemistry tail eagerly (one compile "
                          "per zone-group scan instead of one monolithic jit "
@@ -104,6 +105,7 @@ def main():
     geom = GridGeometry(n, n, n, 1200.0 * KPC)
     rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float32)
     model = step_amr.SparseMLModel.setup(rt, L)
+    model.max_dirs_per_launch = args.dirs_per_launch
     step = model.make_step(split_compile=args.eager)
 
     for i in range(args.steps):

@@ -144,7 +144,79 @@ class TestSparseSweepParity:
                                        atol=1e-300)
 
 
+class TestSparseSweepEagerZones:
+    def test_eager_zones_matches_scan(self):
+        """The bounded-dispatch path (split_compile / eager_zones) must
+        equal the scan path exactly (it is the same chunk body)."""
+        n, L = 8, 3
+        ml, refined = _clustered_ml(n, L)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        rng = np.random.default_rng(13)
+        kappas = [jnp.asarray(
+            rng.lognormal(0, 0.7, (3,) + (n * 2 ** l,) * 3) / 3e21)
+            for l in range(L)]
+        plan = sweep_multilevel.build_ml_sweep_plan(1, n, L)
+        lv_k = [amr_sparse.blockify_like(sp.levels[ell - 1],
+                                         np.asarray(kappas[ell]))
+                for ell in range(1, L)]
+        j0_a, jbs_a = sweep_sparse.diffuse_sweep_sparse(
+            kappas[0], lv_k, sp, plan, UVB, CELL)
+        j0_b, jbs_b = sweep_sparse.diffuse_sweep_sparse(
+            kappas[0], lv_k, sp, plan, UVB, CELL, eager_zones=True)
+        np.testing.assert_allclose(np.asarray(j0_b), np.asarray(j0_a),
+                                   rtol=1e-14)
+        for a, b in zip(jbs_a, jbs_b):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-14)
+
+
 class TestSparseTracerParity:
+    def test_host_phases_matches_jittable(self):
+        """The bounded-dispatch tracer (host_phases, used by
+        split_compile production runs) must equal the jittable tracer
+        exactly: per-chunk accumulators are additive and re-entry with
+        dead rays is a no-op."""
+        from radiativetransfer_tpu.tables import stellar
+        pop = stellar.blackbody_population(temperature=1.0e5,
+                                           q_ionizing=5.0e48)
+        t = stellar.build_source_tables(pop, 0, 0.0, 0, 0.0)
+        quad_a, quad_w = stellar.quadrature_arrays(pop, 0, 0.0, 0, 0.0)
+        tab = {"reaction_log": jnp.asarray(t.reaction_log)[None],
+               "energy_log": jnp.asarray(t.energy_log)[None],
+               "quad_A": jnp.asarray(quad_a),
+               "quad_W": jnp.asarray(quad_w)[None],
+               "output_freq": t.output_freq,
+               "output_sigma24": t.output_sigma24,
+               "output_sigma25": t.output_sigma25,
+               "output_sigma26": t.output_sigma26,
+               "output_sigma_dust": t.output_sigma_dust}
+        n, L = 8, 3
+        geom = GridGeometry(n, n, n, 100 * KPC)
+        ml, refined = _clustered_ml(n, L, seed=7, scale=3e-6)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        src = rays.SourceBatch(position=np.array([[0.47, 0.52, 0.5]]),
+                               weight=np.array([1.0]),
+                               table_idx=np.array([0], np.int32))
+        rfs_a, diag_a = rays_multilevel.trace_point_sources_sparse(
+            sp, geom, src, tab, max_pixel_level=3)
+        rfs_b, diag_b = rays_multilevel.trace_point_sources_sparse(
+            sp, geom, src, tab, max_pixel_level=3, host_phases=True,
+            chunk_steps=7)
+        # deposits agree to scatter-order roundoff (the chunked and
+        # monolithic programs sum per-cell contributions in different
+        # orders); everything else is exact
+        for ell in range(L):
+            np.testing.assert_allclose(
+                np.asarray(rfs_b[ell].krate24),
+                np.asarray(rfs_a[ell].krate24), rtol=1e-12,
+                err_msg=f"level {ell}")
+        np.testing.assert_allclose(np.asarray(diag_b.ndot_remaining),
+                                   np.asarray(diag_a.ndot_remaining),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(diag_b.ndot_spectrum),
+                                   np.asarray(diag_a.ndot_spectrum),
+                                   rtol=1e-12)
+
     def test_matches_dense_ml_tracer(self):
         from radiativetransfer_tpu.tables import stellar
         pop = stellar.blackbody_population(temperature=1.0e5,
