@@ -68,6 +68,13 @@ def main(argv=None):
                     help="override the point-source ray-splitting depth")
     ap.add_argument("--debug-nans", action="store_true",
                     help="enable jax debug_nans (SURVEY.md 5.2 rebuild)")
+    ap.add_argument("--debug-checkify", action="store_true",
+                    help="pre-flight the sweep+chemistry and tracer on the "
+                         "ingested data under jax.experimental.checkify "
+                         "(gather/scatter bounds + NaN/Inf + division "
+                         "checks — the runtime analog of the reference's "
+                         "stop-asserts, equiSources.f90:2962-2976); "
+                         "uniform grids")
     ap.add_argument("--dump-rates", action="store_true",
                     help="write rates.out / cool_rates.out like the reference")
     ap.add_argument("--profile", default="",
@@ -329,6 +336,15 @@ def main(argv=None):
 
     # ---- model + iteration loop ----------------------------------------
     model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
+    if args.debug_checkify:
+        if use_sparse or use_ml or use_amr:
+            print("warning: --debug-checkify instruments the uniform-grid "
+                  "paths; skipping on nested storage")
+        else:
+            from .core import debug as debug_mod
+            debug_mod.preflight(model, state, stellar_ctx)
+            print("checkify pre-flight passed (bounds/NaN/division clean "
+                  "on the ingested data)")
     if args.dump_rates:
         from .tables.chemistry_rates import dump_rates
         dump_rates(model.tables,

@@ -263,7 +263,10 @@ def _march_phase(state: _RayState, fields_pk, geom, rate_ctx,
         active = state.alive
         plen = seg_cells * cell_size      # physical segment length [cm]
 
-        idx = flat_idx(state.cell)
+        # dead rays carry frozen (possibly out-of-box) cells: clip so the
+        # gather contract is explicitly in-bounds (their values are masked
+        # by `active` below; checkify-clean, SURVEY 5.2)
+        idx = jnp.clip(flat_idx(state.cell), 0, n * n * n - 1)
         fv = fields_pk[idx]               # (R, 5): HI, HeI, HeII, nH, abun2
         hi, hei, heii = fv[:, 0], fv[:, 1], fv[:, 2]
         # threshold optical depths (equiSources.f90:3180-3196)
