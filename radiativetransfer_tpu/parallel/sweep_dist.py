@@ -62,7 +62,8 @@ def _zone_params(zone: ZoneBatch, dtype):
 
 def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
                      axis_name: str, n_shards: int,
-                     axis_name_j: str | None = None, n_shards_j: int = 1):
+                     axis_name_j: str | None = None, n_shards_j: int = 1,
+                     no_halo: bool = False):
     """One zone's slab scan on a local (nslab, 3, ny[/Pj], nz/Pk) block.
 
     Identical arithmetic to core.sweep.sweep_zone; the only difference is
@@ -88,7 +89,12 @@ def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
 
     def shift_k_halo(x):
         # upwind line from the left neighbor's last k-column, computed in the
-        # same lockstep slab iteration; shard 0 takes the domain boundary
+        # same lockstep slab iteration; shard 0 takes the domain boundary.
+        # no_halo (diagnostics only): drop the exchange and feed the UVB
+        # boundary — measures the collective's cost share in isolation
+        # (results are WRONG at interior shard faces)
+        if no_halo:
+            return jnp.concatenate([uvb_k, x[..., :-1]], axis=-1)
         halo = jax.lax.ppermute(x[..., -1:], axis_name, perm)
         first = jnp.where(idx == 0, uvb_k, halo)
         return jnp.concatenate([first, x[..., :-1]], axis=-1)
@@ -100,6 +106,8 @@ def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
         perm_j = [(i, i + 1) for i in range(n_shards_j - 1)]
 
         def shift_j_halo(x):
+            if no_halo:
+                return jnp.concatenate([uvb_j, x[..., :-1, :]], axis=-2)
             halo = jax.lax.ppermute(x[..., -1:, :], axis_name_j, perm_j)
             first = jnp.where(idx_j == 0, uvb_j, halo)
             return jnp.concatenate([first, x[..., :-1, :]], axis=-2)
@@ -141,7 +149,7 @@ def _sweep_zone_halo(kappa_rot, params, uvb, cell_size, weight,
 
 
 def diffuse_sweep_pipelined(kappa, plan: SweepPlan, uvb, cell_size,
-                            mesh: Mesh) -> jax.Array:
+                            mesh: Mesh, no_halo: bool = False) -> jax.Array:
     """Grid-decomposed sweep with explicit per-slab ppermute halo lines.
 
     Args match core.sweep.diffuse_sweep; `kappa` is (3, nx, ny, nz), sharded
@@ -176,7 +184,8 @@ def diffuse_sweep_pipelined(kappa, plan: SweepPlan, uvb, cell_size,
         kernel = jax.shard_map(
             partial(_sweep_zone_halo, uvb=uvb, cell_size=cell_size,
                     weight=plan.weight, axis_name=axis, n_shards=n_shards,
-                    axis_name_j=axis_j, n_shards_j=n_shards_j),
+                    axis_name_j=axis_j, n_shards_j=n_shards_j,
+                    no_halo=no_halo),
             mesh=mesh,
             in_specs=(plane_spec,
                       jax.tree_util.tree_map(lambda _: P(), params)),
