@@ -24,32 +24,43 @@ import time
 import numpy as np
 
 
-def _maybe_restore_species(species, restart_snap, restart_ckpt, container,
-                           snapshot):
-    """Restore the prognostic 9-species noneq state from the restart
-    source, if it carries one.  Without it the species re-initialize from
-    the (restored) equilibrium fields — H2/H2+/H-/energy reset, which the
-    reference's restart contract does not allow for prognostic fields
-    (equiSources.f90:1071-1167) — so warn loudly in that case."""
+def _restore_noneq(container, species, restart_snap, restart_ckpt,
+                   snapshot):
+    """Restore the noneq restart state: (container, species, itime|None).
+
+    A noneq orbax checkpoint holds the (fields, 9-species) pytree — the
+    prognostic state the reference's restart contract requires
+    (equiSources.f90:1071-1167) — so both restore together here (the
+    generic restart block defers orbax noneq restores to this point).
+    npz snapshots restore fields in the generic block; only the species
+    arrays are read here.  A restart source without species re-initializes
+    them from the (restored) equilibrium fields, with a loud warning."""
     if restart_ckpt is not None:
         from .io import checkpoint as ckpt_mod
         try:
-            (_, sp2), _ = ckpt_mod.restore_sharded(restart_ckpt,
-                                                   (container, species))
-            print("restored 9-species noneq state from checkpoint")
-            return sp2
+            (cont2, sp2), meta = ckpt_mod.restore_sharded(
+                restart_ckpt, (container, species))
+            print("restored fields + 9-species noneq state from "
+                  f"{restart_ckpt}")
+            return cont2, sp2, meta["itime"]
         except Exception:
-            print("warning: checkpoint carries no species state; "
-                  "H2/H2+/H-/energy re-initialized from equilibrium")
-            return species
+            try:
+                cont2, meta = ckpt_mod.restore_sharded(restart_ckpt,
+                                                       container)
+                print("warning: checkpoint carries no species state; "
+                      "H2/H2+/H-/energy re-initialized from equilibrium")
+                return cont2, species, meta["itime"]
+            except Exception:
+                print(f"warning: could not restore {restart_ckpt}")
+                return container, species, None
     if restart_snap is not None:
         sp2 = snapshot.read_species(restart_snap, species)
         if sp2 is not None:
             print("restored 9-species noneq state from snapshot")
-            return sp2
+            return container, sp2, None
         print("warning: snapshot carries no species state; "
               "H2/H2+/H-/energy re-initialized from equilibrium")
-    return species
+    return container, species, None
 
 
 def main(argv=None):
@@ -417,7 +428,11 @@ def main(argv=None):
         if args.ckpt_format == "orbax":
             from .io import checkpoint as ckpt_mod
             path = ckpt_mod.latest_checkpoint(args.snapshot_dir)
-            if path:
+            if path and args.chemistry == "noneq":
+                # noneq checkpoints hold the (fields, species) pytree;
+                # restored together once the species are built below
+                restart_ckpt = path
+            elif path:
                 cur = (sparse_state if use_sparse
                        else ml_state if use_ml
                        else amr_state if use_amr else state)
@@ -473,8 +488,9 @@ def main(argv=None):
                 use_ml, use_amr = True, False
             species = tuple(cn.species_from_field_state(lv)
                             for lv in ml_state.levels)
-            species = _maybe_restore_species(
-                species, restart_snap, restart_ckpt, ml_state, snapshot)
+            ml_state, species, it2 = _restore_noneq(
+                ml_state, species, restart_snap, restart_ckpt, snapshot)
+            itime = it2 if it2 is not None else itime
             if mesh is not None:
                 # sharded nested noneq (VERDICT r3 item 4c): sharded
                 # levels + species, source-parallel quadrature_noneq
@@ -492,8 +508,9 @@ def main(argv=None):
                      else ""))
         else:
             species = cn.species_from_field_state(state)
-            species = _maybe_restore_species(
-                species, restart_snap, restart_ckpt, state, snapshot)
+            state, species, it2 = _restore_noneq(
+                state, species, restart_snap, restart_ckpt, snapshot)
+            itime = it2 if it2 is not None else itime
             if mesh is not None:
                 state = pmesh.shard_state(state, mesh)
                 species = pmesh.shard_species(species, mesh)
