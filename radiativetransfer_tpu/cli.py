@@ -380,11 +380,16 @@ def main(argv=None):
         # the padding block's zero fields produce garbage there, re-zeroed
         # before the restriction sync (cf. SparseMLModel._chemistry_and_sync)
         new_levels = []
-        for lv in sparse_state.levels:
+        for ell, lv in enumerate(sparse_state.levels, start=1):
             f = model.initialize_equilibrium(lv.fields)
-            f = jax.tree_util.tree_map(
-                lambda x: x.at[..., -1, :, :, :].set(0.0)
-                if x.ndim >= 4 else x, f)
+            pad = lv.origin[:, 0] >= geom.nx * 2 ** ell
+
+            def zero_pads(x, pad=pad):
+                if not hasattr(x, "ndim") or x.ndim < 4:
+                    return x
+                m = pad.reshape((1,) * (x.ndim - 4) + (-1, 1, 1, 1))
+                return jnp.where(m, 0.0, x)
+            f = jax.tree_util.tree_map(zero_pads, f)
             new_levels.append(dc.replace(lv, fields=f))
         sparse_state = dc.replace(
             sparse_state, base=model.initialize_equilibrium(state),

@@ -558,11 +558,19 @@ class SparseMLModel:
             f = chemistry.solve_rate_equations(lv.fields,
                                                self.level_geom(ell),
                                                rt.dev_tables, **kwargs)
-            # re-zero the padding block: chemistry on its zero fields is
-            # garbage and the sweep/tracer gather it for absent tiles
-            f = jax.tree_util.tree_map(
-                lambda x: x.at[..., -1, :, :, :].set(0.0)
-                if x.ndim >= 4 else x, f)
+            # re-zero ALL padding blocks (origin out of range): chemistry
+            # on their zero fields is garbage; the standard final pad is
+            # gathered for absent tiles, and mesh-divisibility padding
+            # (amr_sparse.pad_blocks_to_multiple) adds more
+            n_l = self.rt.geom.nx * 2 ** ell
+            pad = lv.origin[:, 0] >= n_l              # (nb,)
+
+            def zero_pads(x, pad=pad):
+                if not hasattr(x, "ndim") or x.ndim < 4:
+                    return x
+                m = pad.reshape((1,) * (x.ndim - 4) + (-1, 1, 1, 1))
+                return jnp.where(m, 0.0, x)
+            f = jax.tree_util.tree_map(zero_pads, f)
             levels.append(dataclasses.replace(lv, fields=f))
         state = dataclasses.replace(state, base=base, levels=tuple(levels))
         from .amr_sparse import sync_restriction_sparse
