@@ -39,21 +39,42 @@ from .sweep_multilevel import (MLSweepPlan, MLZoneBatch,
                                _slab_gauss_seidel)
 
 
-def _plane_indices(slot_rot, X, be: int, nb: int):
-    """Flat block-data indices of the level cross-section at slab X.
+def _slab_slots(slot_rot, X, be: int, nb: int):
+    """(slot plane (T,T), in-block x offset) for level slab X.
 
     slot_rot: (T,T,T) int32 rotated tile->slot; X traced int32 in
-    [0, T*be).  Returns idx (n_l, n_l) into (nb*be^3,) flat block data;
-    absent tiles route to the padding block (slot nb-1, all zeros)."""
+    [0, T*be).  Absent tiles route to the padding block (slot nb-1, all
+    zeros)."""
     tx = X // be
     ox = X % be
     sp = jax.lax.dynamic_index_in_dim(slot_rot, tx, 0, keepdims=False)
-    sp = jnp.where(sp < 0, nb - 1, sp)                      # (T, T)
-    o = jnp.arange(be)
-    idx = (sp[:, None, :, None] * (be ** 3) + ox * (be ** 2)
-           + o[None, :, None, None] * be + o[None, None, None, :])
-    n_l = sp.shape[0] * be
-    return idx.reshape(n_l, n_l)
+    return jnp.where(sp < 0, nb - 1, sp), ox                # (T, T), scalar
+
+
+def _gather_plane(blocks, sp, ox):
+    """Dense level cross-section (..., n_l, n_l) from block storage.
+
+    blocks: (..., nb, be, be, be); sp: (T, T) slot plane; ox: in-block x.
+    Gathers whole (be, be) block sub-planes — T^2 rows instead of n_l^2
+    element rows, the fat-row form the TPU gathers at bandwidth (the
+    per-row cost is row-count-bound; BASELINE.md round 4)."""
+    be = blocks.shape[-1]
+    T = sp.shape[0]
+    g = blocks[..., sp, ox, :, :]           # (..., T, T, be, be)
+    g = jnp.moveaxis(g, -2, -3)             # (..., T, be, T, be)
+    return g.reshape(g.shape[:-4] + (T * be, T * be))
+
+
+def _scatter_plane_add(blocks, sp, ox, plane):
+    """Scatter-add a dense (..., n_l, n_l) plane into block storage (the
+    inverse of _gather_plane; T^2 fat rows).  Duplicate slots only occur
+    for absent tiles (all routed to the padding block) whose updates are
+    zero (cover-masked), so the accumulation is exact."""
+    be = blocks.shape[-1]
+    T = sp.shape[0]
+    p = plane.reshape(plane.shape[:-2] + (T, be, T, be))
+    p = jnp.moveaxis(p, -3, -2)             # (..., T, T, be, be)
+    return blocks.at[..., sp, ox, :, :].add(p)
 
 
 def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
@@ -66,8 +87,8 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
       block data rotated within-block (octants.rotate_blocks_to_sweep) —
       and slot (T, T, T) rotated tile map;
     params[l]: (D, n*2^l) template-chain arrays.
-    Returns (j0_rot (n, 3, n, n), [flat (3, nb*be^3) J per refined level],
-    all in the rotated frame / rotated block layout).
+    Returns (j0_rot (n, 3, n, n), [(3, nb, be, be, be) J blocks per
+    refined level], all in the rotated frame / rotated block layout).
     """
     L = 1 + len(lv_rots)
     n = k0_rot.shape[0]
@@ -85,9 +106,6 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
 
     nbs = [lv["cover"].shape[0] for lv in lv_rots]
     bes = [lv["cover"].shape[-1] for lv in lv_rots]
-    flat_k = [lv["kappa"].reshape(3, -1) for lv in lv_rots]
-    flat_cov = [lv["cover"].reshape(-1) for lv in lv_rots]
-    flat_ref = [lv["refined"].reshape(-1) for lv in lv_rots]
 
     # per-slab "needs fine transport" bit: a slab touches refined levels if
     # it has refined cells itself OR the previous slab does (its carry fine
@@ -103,17 +121,19 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
             xs[f"p{l}_{key}"] = jnp.asarray(v).reshape(D, n, m).swapaxes(0, 1)
 
     def gather_levels(i):
-        """Materialize per-level plane stacks for base slab i."""
+        """Materialize per-level plane stacks for base slab i (whole-tile
+        fat-row gathers: T^2 rows per plane, not n_l^2)."""
         out = []
         for ell in range(1, L):
             m = 2 ** ell
             kap, cov, ref = [], [], []
             for s in range(m):
-                idx = _plane_indices(lv_rots[ell - 1]["slot"], i * m + s,
+                sp, ox = _slab_slots(lv_rots[ell - 1]["slot"], i * m + s,
                                      bes[ell - 1], nbs[ell - 1])
-                kap.append(flat_k[ell - 1][:, idx])
-                cov.append(flat_cov[ell - 1][idx])
-                ref.append(flat_ref[ell - 1][idx])
+                kap.append(_gather_plane(lv_rots[ell - 1]["kappa"], sp, ox))
+                cov.append(_gather_plane(lv_rots[ell - 1]["cover"], sp, ox))
+                ref.append(_gather_plane(lv_rots[ell - 1]["refined"], sp,
+                                         ox))
             out.append({"kappa": jnp.stack(kap), "cover": jnp.stack(cov),
                         "refined": jnp.stack(ref)})
         return out
@@ -151,17 +171,18 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
 
             j0 = j_of(est[0][0], cov[0][0], ref[0][0])
 
-            # refined-level J: scatter into the flat block accumulators
+            # refined-level J: scatter into the block accumulators
+            # (whole-tile fat rows)
             new_flats = []
             for ell in range(1, L):
                 m = 2 ** ell
                 jf = j_flats[ell - 1]
                 for s in range(m):
                     js = j_of(est[ell][s], cov[ell][s], ref[ell][s])
-                    idx = _plane_indices(lv_rots[ell - 1]["slot"],
+                    sp, ox = _slab_slots(lv_rots[ell - 1]["slot"],
                                          i * m + s, bes[ell - 1],
                                          nbs[ell - 1])
-                    jf = jf.at[:, idx].add(js)
+                    jf = _scatter_plane_add(jf, sp, ox, js)
                 new_flats.append(jf)
 
             carry_next = []
@@ -202,8 +223,9 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
          jnp.ones((ny * 2 ** l, nz * 2 ** l), bool),
          jnp.zeros((ny * 2 ** l, nz * 2 ** l), bool))
         for l in range(L))
-    j_flats0 = tuple(jnp.zeros((3, nbs[l] * bes[l] ** 3), dtype)
-                     for l in range(L - 1))
+    j_flats0 = tuple(
+        jnp.zeros((3, nbs[l], bes[l], bes[l], bes[l]), dtype)
+        for l in range(L - 1))
     (_, j_flats), j0 = jax.lax.scan(body, (carry0_planes, j_flats0), xs)
     return j0, list(j_flats)
 
