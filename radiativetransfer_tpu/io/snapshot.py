@@ -395,7 +395,8 @@ def _sparse_block_index(state, level: np.ndarray, src: np.ndarray):
 
 
 def write_snapshot_sparse(path: str, state, itime: int,
-                          physical_box_size: float) -> None:
+                          physical_box_size: float,
+                          extra: dict | None = None) -> None:
     """Write a block-sparse SparseMLState in depth-first cellArray leaf
     order at O(leaves) file size (writeIonization works at any octree
     depth, /root/reference/equiSources.f90:4797-4912; block structure is
@@ -439,7 +440,22 @@ def write_snapshot_sparse(path: str, state, itime: int,
         o = np.asarray(state.levels[ell - 1].origin, np.int32)
         n_l = state.n * 2 ** ell
         data[f"origin_{ell}"] = o[o[:, 0] < n_l]
+    if extra:
+        data.update(extra)
+    # per-level refinement-bitmap digests: a bitmap change confined inside
+    # existing tiles can preserve the block set AND the leaf count while
+    # changing the SFC enumeration — restart must reject it (the structure
+    # consistency contract, equiSources.f90:1124-1127; ADVICE r4)
+    for ell, r in enumerate(refined):
+        data[f"refined_digest_{ell}"] = _bitmap_digest(r)
     np.savez_compressed(path, **data)
+
+
+def _bitmap_digest(bitmap: np.ndarray) -> np.ndarray:
+    """Stable 20-byte digest of a refinement bitmap (sha1 of packed bits)."""
+    import hashlib
+    packed = np.packbits(np.asarray(bitmap, np.uint8).reshape(-1))
+    return np.frombuffer(hashlib.sha1(packed.tobytes()).digest(), np.uint8)
 
 
 def read_snapshot_sparse(path: str, state) -> tuple["object", int]:
@@ -466,6 +482,15 @@ def read_snapshot_sparse(path: str, state) -> tuple["object", int]:
                     "(structure is rebuilt from the input grid, "
                     "equiSources.f90:1124-1127)")
         refined = _sparse_leaf_maps(state)
+        for ell, r in enumerate(refined):
+            key = f"refined_digest_{ell}"
+            if key in f and not np.array_equal(f[key], _bitmap_digest(r)):
+                raise ValueError(
+                    "snapshot refinement bitmap differs from the state "
+                    "at level {} — the SFC leaf enumeration would scatter "
+                    "values into the wrong cells (structure is rebuilt "
+                    "from the input grid, equiSources.f90:1124-1127)"
+                    .format(ell))
         enum = sfc.enumerate_leaves(n, n, n, refined)
         level, src = enum["level"], enum["src"]
         if level.shape[0] != f["HI"].shape[0]:
@@ -499,8 +524,11 @@ def read_snapshot_sparse(path: str, state) -> tuple["object", int]:
     ts = scatter("tgas", "temperature")
     vels = None
     if has_vel:
-        vels = [np.stack([scatter("vel", "vel" + c, i)[ell]
-                          for i, c in enumerate("xyz")])
+        # one scatter() per component (each rebuilds all levels), indexed
+        # per level when stacking — O(3L) full-grid scatters (ADVICE r4)
+        vel_comps = [scatter("vel", "vel" + c, i)
+                     for i, c in enumerate("xyz")]
+        vels = [np.stack([vel_comps[i][ell] for i in range(3)])
                 for ell in range(state.n_levels)]
 
     def clamp(st, ell):
