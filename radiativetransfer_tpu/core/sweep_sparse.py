@@ -256,42 +256,15 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
     split_compile turns this on together with per-piece compiles).
     """
     L = state.n_levels
-    n = state.n
     k0_l = jnp.moveaxis(k0, 0, -1)                          # (n,n,n,3)
-    refined0 = jnp.asarray(state.refined0, bool)
-
-    lv_data = []
-    for ell in range(1, L):
-        lv = state.levels[ell - 1]
-        lv_data.append({
-            "kappa": lv_kappas[ell - 1],
-            "cover": lv.cover,
-            "refined": (lv.refined if ell < L - 1
-                        else jnp.zeros_like(lv.cover)),
-            "slot": lv.slot,
-        })
 
     j0_acc = jnp.zeros_like(k0_l)
     jb_acc = [jnp.zeros_like(k) for k in lv_kappas]
 
-    # chunk each zone's direction batch to bound the Gauss-Seidel estimate
-    # planes' footprint (4 keys x sum(2^l) sub-slabs x D x 3 bands at the
-    # finest cross-section — the deep-grid memory driver); chunks of the
-    # same size share one compiled scan body
-    groups: dict[int, list] = {}
-    for zone in plan.zones:
-        for s0 in range(0, zone.ndir, max_dirs_per_launch):
-            s1 = min(s0 + max_dirs_per_launch, zone.ndir)
-            chunk = MLZoneBatch(
-                izone=zone.izone, ndir=s1 - s0,
-                params=tuple({k: v[s0:s1] for k, v in p.items()}
-                             for p in zone.params))
-            groups.setdefault(chunk.ndir, []).append(chunk)
-
+    groups = build_chunks(plan, max_dirs_per_launch)
     body = functools.partial(_chunk_body, L=L, weight=plan.weight,
                              n_coupling_iters=n_coupling_iters)
-    ctx = (k0_l, refined0, tuple(
-        (d["kappa"], d["cover"], d["refined"], d["slot"]) for d in lv_data))
+    ctx = build_ctx(k0, lv_kappas, state)
 
     if eager_zones:
         one = _get_eager_runner(L, plan.weight, n_coupling_iters)
@@ -327,10 +300,56 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
     return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)
 
 
+def build_chunks(plan: MLSweepPlan, max_dirs_per_launch: int
+                 ) -> dict[int, list]:
+    """Chunk each zone's direction batch to bound the Gauss-Seidel
+    estimate planes' footprint (4 keys x sum(2^l) sub-slabs x D x 3 bands
+    at the finest cross-section — the deep-grid memory driver); chunks of
+    the same size (the dict key) share one compiled scan body."""
+    groups: dict[int, list] = {}
+    for zone in plan.zones:
+        for s0 in range(0, zone.ndir, max_dirs_per_launch):
+            s1 = min(s0 + max_dirs_per_launch, zone.ndir)
+            chunk = MLZoneBatch(
+                izone=zone.izone, ndir=s1 - s0,
+                params=tuple({k: v[s0:s1] for k, v in p.items()}
+                             for p in zone.params))
+            groups.setdefault(chunk.ndir, []).append(chunk)
+    return groups
+
+
+def build_ctx(k0, lv_kappas, state: SparseMLState):
+    """The replicated sweep context (_chunk_body/_chunk_contrib's `ctx`):
+    (base opacity (n,n,n,3), refined0, per-level
+    (kappa, cover, refined, slot) block arrays)."""
+    L = state.n_levels
+    lv_arrays = []
+    for ell in range(1, L):
+        lv = state.levels[ell - 1]
+        lv_arrays.append((
+            lv_kappas[ell - 1], lv.cover,
+            (lv.refined if ell < L - 1 else jnp.zeros_like(lv.cover)),
+            lv.slot))
+    return (jnp.moveaxis(k0, 0, -1), jnp.asarray(state.refined0, bool),
+            tuple(lv_arrays))
+
+
 def _chunk_body(carry, x, ctx, uvb, cell_size, *, L, weight,
                 n_coupling_iters):
-    """One direction chunk: rotate in (lax.switch over the 24 octant
-    transforms), sweep, rotate out, accumulate."""
+    """One direction chunk: rotate in, sweep, rotate out, accumulate."""
+    j0u, jbu = _chunk_contrib(x, ctx, uvb, cell_size, L=L, weight=weight,
+                              n_coupling_iters=n_coupling_iters)
+    j0_a, jb_a = carry
+    return j0_a + j0u, tuple(a + b for a, b in zip(jb_a, jbu))
+
+
+def _chunk_contrib(x, ctx, uvb, cell_size, *, L, weight,
+                   n_coupling_iters):
+    """One direction chunk's Jmean contribution: rotate in (lax.switch
+    over the 24 octant transforms), sweep, rotate out.  Returns
+    (j0 (n,n,n,3), tuple of per-level (3, nb, be, be, be) J blocks) —
+    the additive unit both the sequential scan (_chunk_body) and the
+    zone-parallel distributed schedule (parallel.sweep_dist) accumulate."""
     k0_l, refined0, lv_arrays = ctx
     lv_data = [{"kappa": a, "cover": c, "refined": r, "slot": s}
                for (a, c, r, s) in lv_arrays]
@@ -365,10 +384,8 @@ def _chunk_body(carry, x, ctx, uvb, cell_size, *, L, weight,
                                  weight, n_coupling_iters)
     jbs = tuple(jf.reshape((3,) + lv_data[e]["cover"].shape)
                 for e, jf in enumerate(jfl))
-    j0u, jbu = jax.lax.switch(iz, [rot_out(z) for z in range(1, 25)],
-                              (j0r, jbs))
-    j0_a, jb_a = carry
-    return j0_a + j0u, tuple(a + b for a, b in zip(jb_a, jbu))
+    return jax.lax.switch(iz, [rot_out(z) for z in range(1, 25)],
+                          (j0r, jbs))
 
 
 _EAGER_RUNNER_CACHE: dict = {}

@@ -224,11 +224,12 @@ def trace_point_sources_ml_dist(ml_state, geom, sources: SourceBatch,
         fg = {k: gather(v) for k, v in fields3.items()}
         full = {"leaf_level": rays_multilevel.leaf_level_volume(
             [fg[f"ref{ell}"] for ell in range(L - 1)], n, L)}
-        for ell in range(L):
-            full[f"lv{ell}"] = rays_mod._pack_fields(
+        full["lv_all"] = jnp.concatenate([
+            rays_mod._pack_fields(
                 fg[f"HI{ell}"].reshape(-1), fg[f"HeI{ell}"].reshape(-1),
                 fg[f"HeII{ell}"].reshape(-1), fg[f"nH{ell}"].reshape(-1),
                 fg[f"abun2{ell}"].reshape(-1))
+            for ell in range(L)], axis=0)
         rfs, diag = rays_multilevel._trace_all_phases_ml(
             full, init_state, tables_dev, geom=geom, n_levels=L,
             n_sources=s_local, dust_approximation=dust_approximation,
@@ -270,6 +271,259 @@ def trace_point_sources_ml_dist(ml_state, geom, sources: SourceBatch,
     if n_real != padded.n_sources:
         diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
     return rfs, diag
+
+
+def trace_point_sources_sparse_dist(sp_state, geom, sources: SourceBatch,
+                                    tables, mesh: Mesh,
+                                    dust_approximation: int = NO_DUST,
+                                    max_pixel_level: int = MAX_PIXEL_LEVEL,
+                                    dtype=jnp.float32,
+                                    rates_mode: str = "auto",
+                                    host_phases: bool = False,
+                                    chunk_steps: int = 512):
+    """Distributed analog of rays_multilevel.trace_point_sources_sparse:
+    sources sharded over the mesh, the block-sparse field/addressing
+    arrays replicated (the O(leaves) production state is small — 0.18 GB
+    at 128^3 + 3 levels — so replication is the right trade against
+    per-segment remote gathers), per-level deposit RateFields psum-reduced
+    to replicated arrays, diagnostics sharded over sources.
+
+    host_phases=True marches each phase as repeated `chunk_steps`-step
+    shard_mapped dispatches with one cross-shard alive count fetched
+    between chunks — the bounded-dispatch form for remote TPU workers (the
+    distributed analog of _trace_all_phases_ml_host; VERDICT r4 item 1).
+
+    Returns (tuple of per-level RateFields — level 0 flat (n^3,), refined
+    levels block-flat (nb*be^3,) — and RayDiagnostics)."""
+    from ..core import rays_multilevel as rml
+    if rates_mode == "auto":
+        rates_mode = "quadrature" if "quad_A" in tables else "table"
+    n_shards = int(np.prod(mesh.devices.shape))
+    L = sp_state.n_levels
+    n = geom.nx
+    nF = n * 2 ** (L - 1)
+
+    padded, n_real = pad_sources(sources, n_shards)
+    s_local = padded.n_sources // n_shards
+
+    init_state = rays_mod._spawn_phase(padded, 1, dtype)
+    init_state = dataclasses.replace(
+        init_state,
+        cell=jnp.clip((init_state.pos * nF).astype(jnp.int32), 0, nF - 1))
+
+    # level-concatenated packed fields + sparse addressing (the same
+    # layout trace_point_sources_sparse builds)
+    st0 = sp_state.base
+    packed = [rays_mod._pack_fields(
+        st0.HI.reshape(-1).astype(dtype), st0.HeI.reshape(-1).astype(dtype),
+        st0.HeII.reshape(-1).astype(dtype), st0.nh.reshape(-1).astype(dtype),
+        st0.abun2.reshape(-1).astype(dtype))]
+    fields = {}
+    for ell in range(1, L):
+        lv = sp_state.levels[ell - 1]
+        f = lv.fields
+        packed.append(rays_mod._pack_fields(
+            f.HI.reshape(-1).astype(dtype), f.HeI.reshape(-1).astype(dtype),
+            f.HeII.reshape(-1).astype(dtype), f.nh.reshape(-1).astype(dtype),
+            f.abun2.reshape(-1).astype(dtype)))
+        fields[f"slot{ell}"] = lv.slot
+        fields[f"cover{ell}"] = lv.cover.reshape(-1)
+    fields["lv_all"] = jnp.concatenate(packed, axis=0)
+    tables_dev = {k: jnp.asarray(v) for k, v in tables.items()}
+
+    axes = tuple(mesh.axis_names)
+    src_axis = axes[0] if len(axes) == 1 else axes
+    ray_spec = jax.tree_util.tree_map(lambda _: P(src_axis), init_state)
+
+    if host_phases:
+        rfs, diag = _trace_sparse_host_dist(
+            fields, init_state, tables_dev, mesh, geom=geom, L=L,
+            s_local=s_local, n_shards=n_shards,
+            dust_approximation=dust_approximation,
+            max_pixel_level=max_pixel_level, dtype=dtype,
+            rates_mode=rates_mode, chunk_steps=chunk_steps)
+        if n_real != padded.n_sources:
+            diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
+        return rfs, diag
+
+    def worker(fields, init_state, tables_dev):
+        rfs, diag = rml._trace_all_phases_ml(
+            fields, init_state, tables_dev, geom=geom, n_levels=L,
+            n_sources=s_local, dust_approximation=dust_approximation,
+            max_pixel_level=max_pixel_level, dtype=dtype,
+            rates_mode=rates_mode)
+        rfs = tuple(
+            jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axes), rf)
+            for rf in rfs)
+        return rfs, diag
+
+    key = ("sparse", geom, mesh, L, padded.n_sources, dust_approximation,
+           max_pixel_level, jnp.dtype(dtype).name, rates_mode,
+           frozenset(tables_dev))
+    fn = _DIST_TRACER_CACHE.get(key)
+    if fn is None:
+        rf_struct = _rate_fields_struct(rates_mode, n, dtype)
+        out_specs = (
+            tuple(jax.tree_util.tree_map(lambda _: P(), rf_struct)
+                  for _ in range(L)),
+            jax.tree_util.tree_map(lambda _: P(src_axis),
+                                   RayDiagnostics.zeros(1, dtype)),
+        )
+        mapped = jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=({k: P() for k in fields}, ray_spec,
+                      {k: P() for k in tables_dev}),
+            out_specs=out_specs, check_vma=False)
+        fn = _DIST_TRACER_CACHE[key] = jax.jit(mapped)
+    rfs, diag = fn(fields, init_state, tables_dev)
+    if n_real != padded.n_sources:
+        diag = jax.tree_util.tree_map(lambda x: x[:n_real], diag)
+    return rfs, diag
+
+
+def _trace_sparse_host_dist(fields, init_state, tables_dev, mesh: Mesh, *,
+                            geom, L, s_local, n_shards, dust_approximation,
+                            max_pixel_level, dtype, rates_mode,
+                            chunk_steps):
+    """Host-driven distributed phase loop: every phase marches as repeated
+    shard_mapped `chunk_steps`-step dispatches (sources sharded, fields
+    replicated, per-shard deposit accumulators carried on a sharded
+    leading axis) with ONE cross-shard alive count fetched between chunks.
+    Numerically identical to the jittable worker: the per-chunk
+    accumulators are additive and re-entry with dead rays is a no-op."""
+    import numpy as _np
+
+    from ..constants import (KPC, OUTPUT_RADII_KPC, SIGMA24_AT_NU1,
+                             SIGMA25_AT_NU3, SIGMA26_AT_NU2,
+                             SIGMA_DUST_AT_NU1, rmax_table)
+    from ..core import rays_multilevel as rml
+    n = geom.nx
+    nF = n * 2 ** (L - 1)
+    rel_kill = 0.0 if jnp.dtype(dtype).itemsize >= 8 else 1.0e-10
+    rmax = rmax_table()
+    axes = tuple(mesh.axis_names)
+    src_axis = axes[0] if len(axes) == 1 else axes
+
+    sizes = rml._level_sizes(fields, n, L)
+    rf_cls, n_ch = ((rays_mod.NoneqRateFields, 11)
+                    if rates_mode == "quadrature_noneq"
+                    else (rays_mod.RateFields, 6))
+    # per-shard partial deposit accumulators: leading (n_shards,) axis
+    # sharded over sources; summed over shards only at the very end
+    rfs = rf_cls(*[jnp.zeros((n_shards, sum(sizes)), dtype)
+                   for _ in range(n_ch)])
+    diag = RayDiagnostics.zeros(n_shards * s_local, dtype)
+    if rates_mode == "quadrature_noneq":
+        ctx_arrays = (jnp.asarray(tables_dev["quad_A"], dtype),
+                      jnp.asarray(tables_dev["quad_W"], dtype),
+                      jnp.asarray(tables_dev["quad_W27"], dtype))
+    elif rates_mode == "quadrature":
+        ctx_arrays = (jnp.asarray(tables_dev["quad_A"], dtype),
+                      jnp.asarray(tables_dev["quad_W"], dtype))
+    else:
+        ctx_arrays = rays_mod._pack_tables(tables_dev["reaction_log"],
+                                           tables_dev["energy_log"])
+    sig_ratio = jnp.stack([
+        jnp.asarray(tables_dev["output_sigma24"], dtype) / SIGMA24_AT_NU1,
+        jnp.asarray(tables_dev["output_sigma26"], dtype) / SIGMA26_AT_NU2,
+        jnp.asarray(tables_dev["output_sigma25"], dtype) / SIGMA25_AT_NU3,
+        jnp.asarray(tables_dev["output_sigma_dust"], dtype)
+        / SIGMA_DUST_AT_NU1])
+    state = init_state
+    spec_of = lambda tree: jax.tree_util.tree_map(lambda _: P(src_axis),
+                                                  tree)
+    rep_of = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+
+    def get_runner(level, last, r_stop):
+        key = ("sparse-host-dist", mesh, geom, L, n_shards, s_local,
+               dust_approximation, level, last, r_stop, chunk_steps,
+               jnp.dtype(dtype).name, rates_mode, rel_kill)
+        fn = _DIST_TRACER_CACHE.get(key)
+        if fn is None:
+            def run_local(state, fields, ctx_arrays, diag, rfs):
+                rays_per_source = 12 * 4 ** (level - 1)
+                src_of_ray = jnp.repeat(
+                    jnp.arange(s_local, dtype=jnp.int32), rays_per_source)
+                rfs_l = jax.tree_util.tree_map(lambda x: x[0], rfs)
+                rate_ctx = (rates_mode, ctx_arrays)
+                state, diag, rfs_l = rml._march_phase_ml(
+                    state, fields, geom, L, rate_ctx, diag, rfs_l,
+                    r_stop, last, dust_approximation, chunk_steps,
+                    src_of_ray, rel_kill=rel_kill)
+                cnt = jax.lax.psum(
+                    jnp.sum(state.alive.astype(jnp.int32)), axes)
+                return (state, diag,
+                        jax.tree_util.tree_map(lambda x: x[None], rfs_l),
+                        cnt)
+
+            mapped = jax.shard_map(
+                run_local, mesh=mesh,
+                in_specs=(spec_of(state), rep_of(fields),
+                          rep_of(ctx_arrays), spec_of(diag), spec_of(rfs)),
+                out_specs=(spec_of(state), spec_of(diag), spec_of(rfs),
+                           P()),
+                check_vma=False)
+            fn = _DIST_TRACER_CACHE[key] = jax.jit(mapped)
+        return fn
+
+    def get_flush(level, last):
+        key = ("sparse-host-dist-flush", mesh, geom, L, n_shards, s_local,
+               level, last, jnp.dtype(dtype).name)
+        fn = _DIST_TRACER_CACHE.get(key)
+        if fn is None:
+            def flush_local(state, diag, sig_ratio):
+                rays_per_source = 12 * 4 ** (level - 1)
+                src_of_ray = jnp.repeat(
+                    jnp.arange(s_local, dtype=jnp.int32), rays_per_source)
+                spec_tau = state.cross_depth @ sig_ratio
+                contrib = jnp.where(
+                    state.crossed[:, None],
+                    state.ndot[:, None] * jnp.exp(-spec_tau), 0.0)
+                diag = dataclasses.replace(
+                    diag, ndot_spectrum=diag.ndot_spectrum
+                    .at[src_of_ray].add(contrib))
+                state = dataclasses.replace(
+                    state, crossed=jnp.zeros_like(state.crossed))
+                if not last:
+                    state, in_box, was_split = rays_mod._split_rays(
+                        state, level, n, dtype, cell_grid=nF)
+                    lost = was_split & ~in_box
+                    out_radii = jnp.asarray(
+                        _np.array(OUTPUT_RADII_KPC) * KPC, dtype)
+                    r2 = state.radius * geom.cell_size
+                    beyond = out_radii[None, :] > r2[:, None]
+                    src4 = jnp.repeat(src_of_ray, 4)
+                    diag = dataclasses.replace(
+                        diag, ndot_boundary=diag.ndot_boundary
+                        .at[src4].add(jnp.where(beyond & lost[:, None],
+                                                state.ndot[:, None], 0.0)))
+                return state, diag
+
+            mapped = jax.shard_map(
+                flush_local, mesh=mesh,
+                in_specs=(spec_of(state), spec_of(diag), P()),
+                out_specs=(spec_of(state), spec_of(diag)),
+                check_vma=False)
+            fn = _DIST_TRACER_CACHE[key] = jax.jit(mapped)
+        return fn
+
+    for level in range(1, max_pixel_level + 1):
+        last = level == max_pixel_level
+        r_stop = float(rmax[level - 1])
+        max_steps = (int(12 * nF + 64) if last
+                     else int(6 * 2 ** (L - 1) * (r_stop + 2) + 32))
+        runner = get_runner(level, last, r_stop)
+        steps = 0
+        while steps < max_steps:
+            state, diag, rfs, cnt = runner(state, fields, ctx_arrays,
+                                           diag, rfs)
+            steps += chunk_steps
+            if int(cnt) == 0:       # also syncs: one dispatch in flight
+                break
+        state, diag = get_flush(level, last)(state, diag, sig_ratio)
+
+    total = jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), rfs)
+    return rml._split_rfs(total, sizes), diag
 
 
 def trace_point_sources_amr_dist(amr_state, geom, sources: SourceBatch,

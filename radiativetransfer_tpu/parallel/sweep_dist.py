@@ -252,6 +252,136 @@ def diffuse_sweep_zone_parallel(kappa, plan: SweepPlan, uvb, cell_size,
     return jnp.moveaxis(jmean_l, -1, 0)
 
 
+# --------------------------------------------------------------------------
+# strategy 2b: angle (zone) decomposition for the BLOCK-SPARSE deep-AMR path
+# --------------------------------------------------------------------------
+
+_SPARSE_ZONES_CACHE: dict = {}
+
+
+def _get_sparse_zones_runner(mesh: Mesh, L: int, weight: float,
+                             n_coupling_iters: int):
+    """Jitted shard_map runner for one group of direction chunks: each
+    device scans its local chunk slice (scaled so padding chunks drop
+    out), then the Jmean contributions psum-reduce to replicated
+    accumulators.  Cached per (mesh, L, weight, depth); jit itself caches
+    per chunk-shape signature, so production loops reuse the executable
+    across iterations."""
+    key = (mesh, L, float(weight), n_coupling_iters)
+    fn = _SPARSE_ZONES_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from ..core import sweep_sparse
+    axes = tuple(mesh.axis_names)
+    chunk_axis = axes[0] if len(axes) == 1 else axes
+    chunk_spec = P(chunk_axis)
+
+    def worker(izones, stacked, scales, ctx, uvb, cell_size, j0_in, jb_in):
+        def body(carry, x):
+            iz, pars, sc = x
+            j0u, jbu = sweep_sparse._chunk_contrib(
+                (iz, pars), ctx, uvb, cell_size, L=L, weight=weight,
+                n_coupling_iters=n_coupling_iters)
+            j0_a, jb_a = carry
+            return (j0_a + sc * j0u,
+                    tuple(a + sc * b for a, b in zip(jb_a, jbu))), None
+
+        zeros = (jnp.zeros_like(j0_in),
+                 tuple(jnp.zeros_like(b) for b in jb_in))
+        (j0, jbs), _ = jax.lax.scan(body, zeros, (izones, stacked, scales))
+        j0 = jax.lax.psum(j0, axes)
+        jbs = tuple(jax.lax.psum(b, axes) for b in jbs)
+        return j0_in + j0, tuple(a + b for a, b in zip(jb_in, jbs))
+
+    def specs(izones, stacked, scales, ctx, uvb, cell_size, j0, jb):
+        tm = jax.tree_util.tree_map
+        return (chunk_spec, tm(lambda _: chunk_spec, stacked), chunk_spec,
+                tm(lambda _: P(), ctx), P(), P(), P(),
+                tm(lambda _: P(), jb))
+
+    def make(izones, stacked, scales, ctx, uvb, cell_size, j0, jb):
+        in_specs = specs(izones, stacked, scales, ctx, uvb, cell_size,
+                         j0, jb)
+        out_specs = (P(), jax.tree_util.tree_map(lambda _: P(), jb))
+        mapped = jax.shard_map(worker, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+        return mapped(izones, stacked, scales, ctx, uvb, cell_size, j0, jb)
+
+    fn = _SPARSE_ZONES_CACHE[key] = jax.jit(make)
+    return fn
+
+
+def diffuse_sweep_sparse_zones(k0, lv_kappas, state, plan, uvb, cell_size,
+                               mesh: Mesh, n_coupling_iters: int = 4,
+                               max_dirs_per_launch: int = 4,
+                               eager_rounds: bool = False):
+    """Angle-decomposed block-sparse L-level sweep over the device mesh.
+
+    The distributed form of core.sweep_sparse.diffuse_sweep_sparse: the
+    per-zone direction chunks (the same chunking — the additive units) are
+    dealt to the devices, each device sweeps its chunks over the full
+    replicated sparse grid, and the base-level + per-level-block Jmean
+    contributions are psum-reduced.  This is the strategy the deep-AMR
+    production regime needs (BASELINE.md round 4: ~11 s/direction
+    single-chip at 128^3 + 3 levels, 192 directions -> the 24 octant
+    zones over N chips; VERDICT r4 item 1); per-sweep communication is
+    ONE psum of the accumulators, so scaling is bounded only by chunk
+    load balance.
+
+    eager_rounds: dispatch one round (n_devices chunks) per jitted call
+    with a data-dependent sync between rounds — the bounded-dispatch form
+    for remote workers whose RPC deadline a whole-sweep dispatch exceeds
+    (the distributed analog of diffuse_sweep_sparse's eager_zones).
+
+    Returns (J0 (3, n, n, n), [J blocks (3, nb, be, be, be) per refined
+    level]), replicated over the mesh.  Parity with the single-device
+    sparse sweep is exact up to the psum's accumulation-order roundoff
+    (tests/test_amr_sparse.py::TestSparseZonesDistributed).
+    """
+    from ..core import sweep_sparse
+    L = state.n_levels
+    n_dev = int(np.prod(mesh.devices.shape))
+    dtype = k0.dtype
+    uvb = jnp.asarray(uvb, dtype)
+    cell_size = jnp.asarray(cell_size, dtype)
+
+    ctx = sweep_sparse.build_ctx(k0, lv_kappas, state)
+    groups = sweep_sparse.build_chunks(plan, max_dirs_per_launch)
+    runner = _get_sparse_zones_runner(mesh, L, plan.weight,
+                                      n_coupling_iters)
+
+    j0_acc = jnp.zeros(k0.shape[1:] + (3,), dtype)          # (n,n,n,3)
+    jb_acc = tuple(jnp.zeros_like(k) for k in lv_kappas)
+
+    for zones in groups.values():
+        pad = (-len(zones)) % n_dev
+        scales = np.concatenate([np.ones(len(zones), np.float32),
+                                 np.zeros(pad, np.float32)])
+        zones = zones + [zones[0]] * pad      # padding chunks scale to 0
+        izones = jnp.asarray([z.izone - 1 for z in zones], jnp.int32)
+        stacked = tuple(
+            {key: jnp.asarray(np.stack([z.params[l][key] for z in zones]))
+             for key in zones[0].params[l]}
+            for l in range(L))
+        if eager_rounds:
+            rounds = len(zones) // n_dev
+            for r in range(rounds):
+                sl = slice(r * n_dev, (r + 1) * n_dev)
+                j0_acc, jb_acc = runner(
+                    izones[sl],
+                    jax.tree_util.tree_map(lambda x: x[sl], stacked),
+                    jnp.asarray(scales[sl]), ctx, uvb, cell_size,
+                    j0_acc, jb_acc)
+                # one dispatch in flight at a time (see
+                # sweep_sparse.diffuse_sweep_sparse's eager_zones)
+                float(jnp.max(j0_acc[0, 0, 0]))
+        else:
+            j0_acc, jb_acc = runner(izones, stacked, jnp.asarray(scales),
+                                    ctx, uvb, cell_size, j0_acc, jb_acc)
+
+    return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)
+
+
 def make_jitted_sweep_dist(plan: SweepPlan, mesh: Mesh,
                            strategy: str = "pipelined"):
     """jit-compiled distributed sweep closed over a fixed plan and mesh.

@@ -145,6 +145,68 @@ def main():
               f"({3 * 256 ** 3 * 4 / 1e6:.0f} MB, "
               f"{3 * 256 ** 3 * 4 / (ICI_GBPS * 1e9) * 1e3:.1f} ms)")
 
+    sparse_zones_accounting()
+
+
+def sparse_zones_accounting():
+    """Exact collective accounting for the SPARSE zones schedule at the
+    production shape (VERDICT r4 item 1: the angle-decomposed deep-AMR
+    sweep over chips).  Per direction-chunk group the runner issues ONE
+    psum of the accumulators: j0 (3, n^3) + per-level J blocks
+    (3, nb_l, be^3); chunk counts come from the same chunking
+    diffuse_sweep_sparse uses, block counts from the production
+    refinement geometry itself."""
+    import math
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from deep_amr_production import clumpy_refinement
+
+    n, L, be = 128, 4, 8
+    refined = clumpy_refinement(
+        n, L, np.random.default_rng(0),
+        centers_frac=((0.5, 0.5, 0.5), (0.22, 0.7, 0.35)))
+    # occupied tiles of level l (be^3 level-l cells = (be/2)^3 parents):
+    # any refined parent in the tile -> block exists (+1 padding block)
+    nbs = []
+    for ell in range(1, L):
+        r = np.asarray(refined[ell - 1], bool)
+        t = be // 2
+        m = r.shape[0] // t
+        occ = r.reshape(m, t, m, t, m, t).any(axis=(1, 3, 5))
+        nbs.append(int(occ.sum()) + 1)
+
+    from radiativetransfer_tpu.core import sweep_multilevel, sweep_sparse
+    plan = sweep_multilevel.build_ml_sweep_plan(3, n, L)   # 192 dirs
+    groups = sweep_sparse.build_chunks(plan, max_dirs_per_launch=4)
+    n_chunks = sum(len(v) for v in groups.values())
+    acc_bytes = 4 * (3 * n ** 3
+                     + sum(3 * nb * be ** 3 for nb in nbs))
+    print()
+    print(f"sparse zones schedule (production 128^3 + {L - 1} levels, "
+          f"192 dirs, be={be}; blocks/level = {nbs}):")
+    print(f"  {n_chunks} direction chunks in {len(groups)} size groups; "
+          f"accumulator psum payload {acc_bytes / 1e6:.1f} MB")
+    for p in (2, 4, 8):
+        # non-eager: one psum per size group; eager: one per round
+        rounds = sum(math.ceil(len(v) / p) for v in groups.values())
+        psums = len(groups)
+        wire = psums * acc_bytes / (ICI_GBPS * 1e9)
+        bal = n_chunks / p / rounds
+        print(f"  {p} chips: {psums} psums ({wire * 1e3:.1f} ms wire) "
+              f"per sweep, chunk load balance {100 * bal:.0f}% "
+              f"({rounds} rounds; eager adds {rounds - psums} psums)")
+    per_dir_s = 11.0            # measured s/direction, BASELINE.md r4
+    sweep_s = per_dir_s * 192
+    for p in (2, 4, 8):
+        rounds = sum(math.ceil(len(v) / p) for v in groups.values())
+        bal = n_chunks / p / rounds
+        wire = len(groups) * acc_bytes / (ICI_GBPS * 1e9)
+        eff = (sweep_s / p) / (sweep_s / p / bal + wire)
+        print(f"  predicted 192-dir deep sweep at {p} chips: "
+              f"{sweep_s / p / bal:.0f} s "
+              f"(efficiency ~{100 * eff:.0f}%, vs {sweep_s:.0f} s "
+              f"single-chip)")
+
 
 if __name__ == "__main__":
     main()

@@ -519,6 +519,292 @@ class TestSparseSharded:
             sparse.neutral_fraction(out_ref), rel=1e-10)
 
 
+class TestSparseZonesDistributed:
+    """Angle-decomposed (zones) distribution of the block-sparse
+    production path (VERDICT r4 item 1): the direction chunks are dealt
+    to the devices, each sweeps the full replicated sparse grid, and the
+    Jmean accumulators psum-reduce; the point-source phase runs
+    source-parallel.  Parity with the single-device sparse path up to the
+    psum's accumulation-order roundoff."""
+
+    def test_zones_sweep_matches_single_device(self):
+        from radiativetransfer_tpu.parallel import mesh as pmesh, sweep_dist
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        n, L = 8, 3
+        ml, refined = _clustered_ml(n, L)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        rng = np.random.default_rng(17)
+        kappas = [jnp.asarray(
+            rng.lognormal(0, 0.7, (3,) + (n * 2 ** l,) * 3) / 3e21)
+            for l in range(L)]
+        plan = sweep_multilevel.build_ml_sweep_plan(1, n, L)
+        lv_k = [amr_sparse.blockify_like(sp.levels[ell - 1],
+                                         np.asarray(kappas[ell]))
+                for ell in range(1, L)]
+        j0_ref, jbs_ref = sweep_sparse.diffuse_sweep_sparse(
+            kappas[0], lv_k, sp, plan, UVB, CELL, n_coupling_iters=4)
+        mesh = pmesh.make_grid_mesh(8)
+        for eager in (False, True):
+            j0, jbs = sweep_dist.diffuse_sweep_sparse_zones(
+                kappas[0], lv_k, sp, plan, UVB, CELL, mesh,
+                n_coupling_iters=4, eager_rounds=eager)
+            np.testing.assert_allclose(np.asarray(j0), np.asarray(j0_ref),
+                                       rtol=1e-12,
+                                       err_msg=f"eager={eager}")
+            for ell, (a, b) in enumerate(zip(jbs, jbs_ref)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-300,
+                    err_msg=f"eager={eager} level {ell + 1}")
+
+    def test_zones_sweep_on_2d_mesh(self):
+        from radiativetransfer_tpu.parallel import mesh as pmesh, sweep_dist
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        n, L = 8, 2
+        ml, refined = _clustered_ml(n, L)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        rng = np.random.default_rng(19)
+        kappas = [jnp.asarray(
+            rng.lognormal(0, 0.7, (3,) + (n * 2 ** l,) * 3) / 3e21)
+            for l in range(L)]
+        plan = sweep_multilevel.build_ml_sweep_plan(1, n, L)
+        lv_k = [amr_sparse.blockify_like(sp.levels[0],
+                                         np.asarray(kappas[1]))]
+        j0_ref, jbs_ref = sweep_sparse.diffuse_sweep_sparse(
+            kappas[0], lv_k, sp, plan, UVB, CELL)
+        mesh = pmesh.make_grid_mesh(shape=(2, 4))
+        j0, jbs = sweep_dist.diffuse_sweep_sparse_zones(
+            kappas[0], lv_k, sp, plan, UVB, CELL, mesh)
+        np.testing.assert_allclose(np.asarray(j0), np.asarray(j0_ref),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(jbs[0]),
+                                   np.asarray(jbs_ref[0]), rtol=1e-12,
+                                   atol=1e-300)
+
+    def test_distributed_step_matches_single_device(self):
+        """Full mode-8 iteration with mesh= (zones sweep + source-parallel
+        tracer), both jittable and bounded-dispatch (split_compile)."""
+        from radiativetransfer_tpu.parallel import mesh as pmesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        n, L = 8, 3
+        rt, dense, sparse = TestSparseStepParity()._models(
+            n, MODE_BOTH_STELLAR_UVB_TRANSFER)
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        ml, refined = _clustered_ml(n, L, seed=41, scale=5e-4)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        rng = np.random.default_rng(4)
+        batch = rays.SourceBatch(position=rng.uniform(0.3, 0.7, (4, 3)),
+                                 weight=np.ones(4),
+                                 table_idx=np.zeros(4, np.int32))
+        ctx = step_mod.StellarContext.build(
+            stellar_tables.blackbody_population(), batch, rt.geom,
+            10.0 * MYR, metal_coefs=[(0, 0.0)], max_pixel_level=3)
+        out_ref, diag_ref = sparse.make_step(ctx)(sp)
+
+        mesh = pmesh.make_grid_mesh(8)
+        for split in (False, True):
+            out_d, diag_d = sparse.make_step(
+                ctx, split_compile=split, mesh=mesh)(sp)
+            np.testing.assert_allclose(
+                np.asarray(out_d.base.HI), np.asarray(out_ref.base.HI),
+                rtol=1e-10, err_msg=f"split={split}")
+            for ell in range(1, L):
+                lv_d = out_d.levels[ell - 1]
+                lv_r = out_ref.levels[ell - 1]
+                leaf = np.asarray(lv_r.cover & ~lv_r.refined)
+                np.testing.assert_allclose(
+                    np.asarray(lv_d.fields.HI)[leaf],
+                    np.asarray(lv_r.fields.HI)[leaf], rtol=1e-10,
+                    err_msg=f"split={split} level {ell}")
+            np.testing.assert_allclose(
+                np.asarray(diag_d.ndot_remaining),
+                np.asarray(diag_ref.ndot_remaining), rtol=1e-10,
+                err_msg=f"split={split}")
+        sparse.make_step(None, mesh=None)   # restore single-device state
+
+
+class TestShardedSparseMemoryContract:
+    """Prove the O(leaves/P) sharded-sparse claim (VERDICT r4 weak-6):
+    the compiled sharded step must not all-gather full block arrays per
+    device, and per-device argument bytes must scale ~1/P."""
+
+    def test_no_block_allgather_and_args_scale(self):
+        import re
+
+        from radiativetransfer_tpu.parallel import mesh as pmesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        n, L = 8, 3
+        rt, dense, sparse = TestSparseStepParity()._models(
+            n, MODE_UVB_TRANSFER_ONLY)
+        ml, refined = _clustered_ml(n, L, seed=41, scale=5e-4)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        mesh = pmesh.make_grid_mesh(8)
+        sp_sh = pmesh.shard_sparse_state(sp, mesh)
+        step = jax.jit(lambda s: sparse.step(s)[0])
+        comp = step.lower(sp_sh).compile()
+
+        # smallest full per-level block FIELD array (one scalar field of
+        # the shallowest refined level): an all-gather materializing any
+        # full block array is at least this big
+        min_block_bytes = min(
+            lv.cover.size * np.dtype(np.float64).itemsize
+            for lv in sp_sh.levels)
+
+        itemsize = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "pred": 1,
+                    "s64": 8, "u64": 8, "u8": 1, "s8": 1, "f16": 2,
+                    "bf16": 2}
+        worst = 0
+        for m in re.finditer(
+                r"all-gather[^=]*= ([a-z0-9]+)\[([0-9,]*)\]",
+                comp.as_text()):
+            dt, dims = m.group(1), m.group(2)
+            size = 1
+            for d in dims.split(","):
+                if d:
+                    size *= int(d)
+            worst = max(worst, size * itemsize.get(dt, 8))
+        assert worst < min_block_bytes, (
+            f"sharded sparse step all-gathers a {worst}-byte array "
+            f"(>= a full block field, {min_block_bytes} B): the "
+            f"O(leaves/P) execution contract is broken")
+
+        # per-device persistent bytes scale ~1/P (replicated slot maps +
+        # origins are the small remainder)
+        total = sp.memory_bytes()
+        per_dev = comp.memory_analysis().argument_size_in_bytes
+        assert per_dev < total / 8 * 2.0, (
+            f"per-device argument bytes {per_dev} do not scale ~1/P "
+            f"(total {total})")
+
+
+class TestSparseNoneq:
+    """noneq x block-sparse storage (VERDICT r4 item 3): the 9-species
+    network on the production storage form, parity vs the dense-ML noneq
+    step, species restriction through the block geometry, and species in
+    sparse snapshots."""
+
+    def _setup(self, n=8, L=3, mode=MODE_UVB_TRANSFER_ONLY, seed=23):
+        cfg = RunConfig(mode=mode, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        from radiativetransfer_tpu.core.state import GridGeometry
+        geom = GridGeometry(n, n, n, 200.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        ml, refined = _clustered_ml(n, L, seed=seed, scale=5e-4)
+        ml = amr.MultiLevelState(
+            levels=tuple(rt.initialize_equilibrium(lv)
+                         for lv in ml.levels),
+            refined=ml.refined)
+        ml = amr.sync_restriction_multi(ml)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        dense = step_amr.MultiLevelModel.setup(rt, L)
+        sparse = step_amr.SparseMLModel.setup(rt, L)
+        return rt, geom, ml, sp, dense, sparse
+
+    @staticmethod
+    def _sparse_species(sparse_model, sp):
+        from radiativetransfer_tpu.core import chemistry_noneq as cn
+        out = [cn.species_from_field_state(sp.base)]
+        for ell, lv in enumerate(sp.levels, start=1):
+            spc = cn.species_from_field_state(lv.fields)
+            out.append(sparse_model._zero_pads_tree(
+                spc, sparse_model._pad_mask(lv, ell)))
+        return tuple(out)
+
+    def test_matches_dense_ml_noneq(self):
+        from radiativetransfer_tpu.core import chemistry_noneq as cn
+        rt, geom, ml, sp, dense, sparse = self._setup()
+        L = sp.n_levels
+        species_d = tuple(cn.species_from_field_state(lv)
+                          for lv in ml.levels)
+        st_d, species_d = dense.make_noneq_step(
+            10.0 * MYR, n_substeps=80)(ml, species_d)
+
+        species_s = self._sparse_species(sparse, sp)
+        st_s, species_s = sparse.make_noneq_step(
+            10.0 * MYR, n_substeps=80)(sp, species_s)
+
+        np.testing.assert_allclose(np.asarray(st_s.base.HI),
+                                   np.asarray(st_d.levels[0].HI),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(species_s[0].H2I),
+                                   np.asarray(species_d[0].H2I),
+                                   rtol=1e-9)
+        for ell in range(1, L):
+            lv = st_s.levels[ell - 1]
+            cov = np.asarray(lv.cover)
+            got = amr_sparse.unblockify_like(lv, np.asarray(lv.fields.HI))
+            want = np.asarray(st_d.levels[ell].HI)
+            m = amr_sparse.unblockify_like(lv, cov, fill=False)
+            np.testing.assert_allclose(got[m], want[m], rtol=1e-9,
+                                       err_msg=f"level {ell}")
+            # species parity on covered cells (incl. restricted parents)
+            got_h2 = amr_sparse.unblockify_like(
+                lv, np.asarray(species_s[ell].H2I))
+            np.testing.assert_allclose(
+                got_h2[m], np.asarray(species_d[ell].H2I)[m], rtol=1e-9,
+                err_msg=f"species level {ell}")
+
+    def test_stellar_noneq_matches_dense_ml(self):
+        from radiativetransfer_tpu.core import chemistry_noneq as cn
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        rt, geom, ml, sp, dense, sparse = self._setup(
+            mode=MODE_BOTH_STELLAR_UVB_TRANSFER)
+        L = sp.n_levels
+        rng = np.random.default_rng(7)
+        batch = rays.SourceBatch(position=rng.uniform(0.3, 0.7, (3, 3)),
+                                 weight=np.ones(3),
+                                 table_idx=np.zeros(3, np.int32))
+        ctx = step_mod.StellarContext.build(
+            stellar_tables.blackbody_population(), batch, rt.geom,
+            10.0 * MYR, metal_coefs=[(0, 0.0)], max_pixel_level=3,
+            noneq=True)
+        species_d = tuple(cn.species_from_field_state(lv)
+                          for lv in ml.levels)
+        st_d, species_d, diag_d = dense.make_noneq_step(
+            5.0 * MYR, ctx, n_substeps=50)(ml, species_d)
+
+        species_s = self._sparse_species(sparse, sp)
+        st_s, species_s, diag_s = sparse.make_noneq_step(
+            5.0 * MYR, ctx, n_substeps=50)(sp, species_s)
+
+        np.testing.assert_allclose(np.asarray(st_s.base.HI),
+                                   np.asarray(st_d.levels[0].HI),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(diag_s.ndot_remaining),
+                                   np.asarray(diag_d.ndot_remaining),
+                                   rtol=1e-9)
+        for ell in range(1, L):
+            lv = st_s.levels[ell - 1]
+            m = amr_sparse.unblockify_like(lv, np.asarray(lv.cover),
+                                           fill=False)
+            got = amr_sparse.unblockify_like(
+                lv, np.asarray(species_s[ell].H2I))
+            np.testing.assert_allclose(
+                got[m], np.asarray(species_d[ell].H2I)[m], rtol=1e-8,
+                err_msg=f"species level {ell}")
+
+    def test_species_sparse_snapshot_round_trip(self, tmp_path):
+        from radiativetransfer_tpu.io import snapshot
+        rt, geom, ml, sp, dense, sparse = self._setup()
+        species = self._sparse_species(sparse, sp)
+        extra = {}
+        for ell, spc in enumerate(species):
+            extra.update(snapshot.species_extra(spc,
+                                                prefix=f"species{ell}"))
+        p = str(tmp_path / "cellArray0003.npz")
+        snapshot.write_snapshot_sparse(p, sp, 3, 200.0 * KPC, extra=extra)
+        got = snapshot.read_species(p, species)
+        assert got is not None
+        for ell in range(sp.n_levels):
+            np.testing.assert_array_equal(np.asarray(got[ell].H2I),
+                                          np.asarray(species[ell].H2I))
+            np.testing.assert_array_equal(np.asarray(got[ell].eint),
+                                          np.asarray(species[ell].eint))
+
+
 class TestCouplingDepthProduction:
     """validate_coupling_depth is wired into the production models
     (VERDICT r3 weak-5): the selected depth is adopted by the step."""
