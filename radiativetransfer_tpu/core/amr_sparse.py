@@ -574,19 +574,22 @@ def _restrict_blocks(x):
     return x.reshape(lead + (h, 2, h, 2, h, 2)).mean(axis=(-5, -3, -1))
 
 
-def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
-    """Propagate fine-leaf restrictions down through every level
-    (the sparse analog of amr.sync_restriction_multi)."""
+def sync_restriction_tree(state: SparseMLState, base_tree, level_trees):
+    """Propagate fine-leaf restrictions down through every level of an
+    ARBITRARY pytree family sharing the state's block geometry: base_tree
+    arrays are (n, n, n) (or leading-stacked (c, n, n, n)); level_trees[l-1]
+    arrays are (nb, be, be, be) (or (c, nb, be, be, be)).  Refined parents
+    end up holding their children's average — the engine behind
+    sync_restriction_sparse, exposed so auxiliary per-cell state (e.g. the
+    9-species noneq network) restricts with the same geometry."""
     L = state.n_levels
     n = state.n
-    levels = list(state.levels)
-    base = state.base
+    trees = list(level_trees)
     for ell in range(L - 1, 0, -1):
-        lv = levels[ell - 1]
+        lv = state.levels[ell - 1]
         be = lv.be
         h = be // 2
-        rest = {name: _restrict_blocks(getattr(lv.fields, name))
-                for name in _present_names(lv.fields)}
+        rest = jax.tree_util.tree_map(_restrict_blocks, trees[ell - 1])
         p0 = lv.origin // 2                                  # (nb, 3)
         oy = jnp.arange(h)
         ix = p0[:, 0, None, None, None] + oy[None, :, None, None]
@@ -597,19 +600,31 @@ def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
             mask = state.refined0[
                 jnp.clip(ix, 0, n - 1), jnp.clip(iy, 0, n - 1),
                 jnp.clip(iz, 0, n - 1)] & (ix < n)
+
+            ixc = jnp.clip(ix, 0, n - 1)
+            iyc = jnp.clip(iy, 0, n - 1)
+            izc = jnp.clip(iz, 0, n - 1)
+
             def write_dense(b, r):
                 if b.ndim == 3:
-                    cur = b[jnp.clip(ix, 0, n - 1), jnp.clip(iy, 0, n - 1),
-                            jnp.clip(iz, 0, n - 1)]
-                    val = jnp.where(mask, r.astype(b.dtype), cur)
-                    return b.at[ix, iy, iz].set(val)   # OOB scatters drop
+                    # order-independent masked write: scatter-ADD the
+                    # masked values and a hit count at CLIPPED (in-bounds)
+                    # indices, then select.  Masked-out entries add zeros,
+                    # so index collisions from clipping are harmless —
+                    # same drop semantics as an OOB scatter, but
+                    # checkify-clean and GSPMD-shardable (an appended dump
+                    # slot would force a full-array all-gather)
+                    vals = jnp.zeros_like(b).at[ixc, iyc, izc].add(
+                        jnp.where(mask, r.astype(b.dtype), 0))
+                    cnt = jnp.zeros(b.shape, jnp.int32).at[
+                        ixc, iyc, izc].add(mask.astype(jnp.int32))
+                    return jnp.where(cnt > 0, vals, b)
                 return jnp.stack([write_dense(b[i], r[i])
                                   for i in range(b.shape[0])])
-            base = dataclasses.replace(base, **{
-                name: write_dense(getattr(base, name), rest[name])
-                for name in rest})
+            base_tree = jax.tree_util.tree_map(write_dense, base_tree,
+                                               rest)
         else:
-            par = levels[ell - 2]
+            par = state.levels[ell - 2]
             pbe = par.be
             n_par = n * 2 ** (ell - 1)
             in_range = ix < n_par      # padding origins are fully OOB
@@ -622,18 +637,37 @@ def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
             pref = par.refined.reshape(-1)[jnp.clip(idx, 0,
                                                     nbp * pbe ** 3 - 1)]
             mask = exists & pref & in_range
-            idx_safe = jnp.where(mask, idx, nbp * pbe ** 3)  # dropped
+            idx_c = jnp.clip(idx, 0, nbp * pbe ** 3 - 1)
 
             def write_sparse(b, r):
                 if b.ndim == 4:
+                    # same order-independent masked write as write_dense
+                    # (see above): in-bounds scatter-ADD + count select
                     flat = b.reshape(-1)
-                    return flat.at[idx_safe].set(
-                        r.astype(b.dtype)).reshape(b.shape)
+                    vals = jnp.zeros_like(flat).at[idx_c].add(
+                        jnp.where(mask, r.astype(b.dtype), 0))
+                    cnt = jnp.zeros(flat.shape, jnp.int32).at[idx_c].add(
+                        mask.astype(jnp.int32))
+                    return jnp.where(cnt > 0, vals,
+                                     flat).reshape(b.shape)
                 return jnp.stack([write_sparse(b[i], r[i])
                                   for i in range(b.shape[0])])
-            par_fields = dataclasses.replace(par.fields, **{
-                name: write_sparse(getattr(par.fields, name), rest[name])
-                for name in rest})
-            levels[ell - 2] = dataclasses.replace(par, fields=par_fields)
-    return SparseMLState(base=base, refined0=state.refined0,
-                         levels=tuple(levels))
+            trees[ell - 2] = jax.tree_util.tree_map(write_sparse,
+                                                    trees[ell - 2], rest)
+    return base_tree, tuple(trees)
+
+
+def sync_restriction_sparse(state: SparseMLState) -> SparseMLState:
+    """Propagate fine-leaf restrictions down through every level
+    (the sparse analog of amr.sync_restriction_multi)."""
+    names = _present_names(state.base)
+    base_tree = {name: getattr(state.base, name) for name in names}
+    level_trees = [{name: getattr(lv.fields, name) for name in names}
+                   for lv in state.levels]
+    base_tree, level_trees = sync_restriction_tree(state, base_tree,
+                                                   level_trees)
+    base = dataclasses.replace(state.base, **base_tree)
+    levels = tuple(
+        dataclasses.replace(lv, fields=dataclasses.replace(lv.fields, **t))
+        for lv, t in zip(state.levels, level_trees))
+    return SparseMLState(base=base, refined0=state.refined0, levels=levels)

@@ -108,6 +108,11 @@ class AMRModel:
         """The point-source phase of step(), without sweep/chemistry."""
         rt = self.rt
         if mesh is not None and rt.config.tracer_strategy == "domain":
+            if "quad_A" not in stellar.tables:
+                raise ValueError(
+                    "tracer_strategy='domain' requires quadrature tables "
+                    "(quad_A/quad_W); table-mode SED tables only support "
+                    "the source-parallel tracer")
             from ..parallel import rays_domain
             rfb, rff, diag = rays_domain.trace_point_sources_domain_amr(
                 state, rt.geom, stellar.sources, stellar.tables, mesh,
@@ -463,6 +468,12 @@ class SparseMLModel:
     # per-chunk eager dispatch (set by make_step(split_compile=True)):
     # bounds each device dispatch below the remote worker's RPC deadline
     _eager_zones: bool = False
+    # device mesh (set by make_step(mesh=...)): the sweep runs
+    # angle-decomposed (zones) over the devices and the tracer
+    # source-parallel — the distribution the deep-AMR production regime
+    # needs (BASELINE.md r4: ~11 s/direction x 192 directions single-chip;
+    # VERDICT r4 item 1)
+    mesh: "object" = None
 
     @classmethod
     def setup(cls, rt_model, n_levels: int) -> "SparseMLModel":
@@ -492,14 +503,23 @@ class SparseMLModel:
         return self._sweep_and_chemistry(state), diag
 
     def _traced(self, state, stellar):
-        from . import rays_multilevel
         rt = self.rt
-        rfs, diag = rays_multilevel.trace_point_sources_sparse(
-            state, rt.geom, stellar.sources, stellar.tables,
-            dust_approximation=stellar.dust_approximation,
-            max_pixel_level=stellar.max_pixel_level,
-            dtype=state.base.rho.dtype,
-            host_phases=self._eager_zones)
+        if self.mesh is not None:
+            from ..parallel import rays_dist
+            rfs, diag = rays_dist.trace_point_sources_sparse_dist(
+                state, rt.geom, stellar.sources, stellar.tables, self.mesh,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.base.rho.dtype,
+                host_phases=self._eager_zones)
+        else:
+            from . import rays_multilevel
+            rfs, diag = rays_multilevel.trace_point_sources_sparse(
+                state, rt.geom, stellar.sources, stellar.tables,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.base.rho.dtype,
+                host_phases=self._eager_zones)
         names = ("krate24", "krate25", "krate26",
                  "crate24", "crate25", "crate26")
         base = dataclasses.replace(state.base, **{
@@ -524,11 +544,20 @@ class SparseMLModel:
         lv_k = [opacity.compute_opacities(
             lv.fields.HI, lv.fields.HeI, lv.fields.HeII, rt.opacity_coef)
             for lv in state.levels]
-        j0, jbs = sweep_sparse.diffuse_sweep_sparse(
-            k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
-            rt.geom.cell_size, n_coupling_iters=self.n_coupling_iters,
-            max_dirs_per_launch=self.max_dirs_per_launch,
-            eager_zones=self._eager_zones)
+        if self.mesh is not None:
+            from ..parallel import sweep_dist
+            j0, jbs = sweep_dist.diffuse_sweep_sparse_zones(
+                k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
+                rt.geom.cell_size, self.mesh,
+                n_coupling_iters=self.n_coupling_iters,
+                max_dirs_per_launch=self.max_dirs_per_launch,
+                eager_rounds=self._eager_zones)
+        else:
+            j0, jbs = sweep_sparse.diffuse_sweep_sparse(
+                k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
+                rt.geom.cell_size, n_coupling_iters=self.n_coupling_iters,
+                max_dirs_per_launch=self.max_dirs_per_launch,
+                eager_zones=self._eager_zones)
         return dataclasses.replace(
             state,
             base=dataclasses.replace(state.base, Jmean=j0),
@@ -576,7 +605,7 @@ class SparseMLModel:
         from .amr_sparse import sync_restriction_sparse
         return sync_restriction_sparse(state)
 
-    def make_step(self, stellar=None, split_compile=False):
+    def make_step(self, stellar=None, split_compile=False, mesh=None):
         """Compiled block-sparse L-level iteration (tracer keeps its own
         cache).
 
@@ -584,9 +613,19 @@ class SparseMLModel:
         individually (eager dispatch between them) and the chemistry +
         restriction tail as one jit — the monolithic whole-step XLA
         program at the largest deep-AMR configs exceeds what the remote
-        TPU worker tolerates, while the per-piece compiles are fine."""
+        TPU worker tolerates, while the per-piece compiles are fine.
+
+        mesh: distribute the iteration — the sweep runs angle-decomposed
+        over the devices (parallel.sweep_dist.diffuse_sweep_sparse_zones,
+        one accumulator psum per sweep) and the point-source phase runs
+        source-parallel (parallel.rays_dist.trace_point_sources_sparse_
+        dist); the state stays replicated (O(leaves) is small) and the
+        chemistry tail computes replicated.  Composes with split_compile:
+        each distributed dispatch is then one round / one tracer chunk."""
         self._eager_zones = split_compile
+        self.mesh = mesh
         if split_compile:
+            import time as _time
             zero = lambda s: dataclasses.replace(
                 s, base=s.base.zero_rates(),
                 levels=tuple(
@@ -602,15 +641,30 @@ class SparseMLModel:
                 float(jnp.max(x.reshape(-1)[:8]))
 
             def step_split(state):
+                # per-phase wall times land in self.last_phase_times (the
+                # production breakdown BASELINE.md publishes; each phase
+                # ends with a data-dependent sync so the times are real)
+                times = {}
+                t0 = _time.time()
                 state = zero(state)
                 diag = None
                 if stellar is not None:
                     state, diag = self._traced(state, stellar)
                     sync(state.base.krate24)
+                    from . import rays_multilevel
+                    times["tracer"] = _time.time() - t0
+                    times["tracer_phases"] = dict(
+                        rays_multilevel.LAST_TRACE_PHASE_TIMES)
+                    t0 = _time.time()
                 if self.rt.config.run_uvb_transfer:
                     state = self._apply_sweep(state)   # eager: per-group
+                    sync(state.base.Jmean)
+                    times["sweep"] = _time.time() - t0
+                    t0 = _time.time()
                 state = chem(state)
                 sync(state.base.HI)
+                times["chemistry_sync"] = _time.time() - t0
+                self.last_phase_times = times
                 return (state, diag) if stellar is not None else state
 
             return step_split
@@ -630,11 +684,19 @@ class SparseMLModel:
         return step
 
     def validate_coupling_depth(self, state, tol: float = 1e-8,
-                                max_iters: int = 6) -> int:
+                                max_iters: int = 6,
+                                eager: bool = False) -> int:
         """Sparse analog of MultiLevelModel.validate_coupling_depth:
         smallest depth whose one-more-pass leaf Jmean residual is below
         tol, measured with the block-sparse sweep itself on a
-        12-direction plan; adopts the result."""
+        12-direction plan; adopts the result.
+
+        eager=True dispatches per direction chunk (bounded dispatches for
+        the remote worker — pass it at production scale, where a
+        12-direction validation sweep is itself a minutes-long dispatch).
+        At production this knob pays directly: every pass below the
+        legacy depth 4 is ~25% of the deep sweep's cost back
+        (BASELINE.md r4 attribution)."""
         from . import sweep_multilevel, sweep_sparse
         rt = self.rt
         plan1 = sweep_multilevel.build_ml_sweep_plan(
@@ -666,11 +728,13 @@ class SparseMLModel:
 
         prev = sweep_sparse.diffuse_sweep_sparse(
             k0, lv_k, state, plan1, uvb, rt.geom.cell_size,
-            n_coupling_iters=1)
+            n_coupling_iters=1, eager_zones=eager,
+            max_dirs_per_launch=self.max_dirs_per_launch)
         for iters in range(1, max_iters + 1):
             nxt = sweep_sparse.diffuse_sweep_sparse(
                 k0, lv_k, state, plan1, uvb, rt.geom.cell_size,
-                n_coupling_iters=iters + 1)
+                n_coupling_iters=iters + 1, eager_zones=eager,
+                max_dirs_per_launch=self.max_dirs_per_launch)
             if leaf_max_diff(prev, nxt) < tol:
                 self.n_coupling_iters = iters
                 return iters
@@ -688,3 +752,183 @@ class SparseMLModel:
             hi += float(jnp.sum(jnp.where(leaf, lv.fields.HI, 0.0))) * w
             nh += float(jnp.sum(jnp.where(leaf, lv.fields.nh, 0.0))) * w
         return hi / nh
+
+    def _pad_mask(self, lv, ell: int):
+        """(nb,) bool: padding blocks (origin out of range) of level ell."""
+        return lv.origin[:, 0] >= self.rt.geom.nx * 2 ** ell
+
+    @staticmethod
+    def _zero_pads_tree(tree, pad):
+        """Zero padding-block entries of every (.., nb, be, be, be) leaf."""
+        def zero(x):
+            if not hasattr(x, "ndim") or x.ndim < 4:
+                return x
+            m = pad.reshape((1,) * (x.ndim - 4) + (-1, 1, 1, 1))
+            return jnp.where(m, 0.0, x)
+        return jax.tree_util.tree_map(zero, tree)
+
+    def make_noneq_step(self, dt: float, stellar=None, noneq_tables=None,
+                        n_substeps: int = 200, evolve_energy: bool = False,
+                        split_compile: bool = False, mesh=None):
+        """Transport + non-equilibrium 9-species chemistry on BLOCK-SPARSE
+        L-level storage (lifts the round-4 hard exit, cli.py:481; VERDICT
+        r4 item 3).  The network tail is elementwise
+        (/root/reference/coll_rates.f:3-234 — nothing in the physics is
+        level-specific), so it maps onto block fields exactly like the
+        equilibrium chemistry (_chemistry_and_sync): each level evolves
+        with its own photo rates, padding blocks are re-zeroed, then
+        fields AND species restrict onto refined parents through the same
+        block geometry (amr_sparse.sync_restriction_tree).
+
+        Returns step(state, species_list) ->
+        (state, species_list[, diag]); species_list holds one
+        chemistry_noneq.SpeciesState per level: index 0 dense (n,n,n),
+        refined levels block-shaped (nb, be, be, be)
+        (species_from_field_state on base / lv.fields).
+
+        split_compile / mesh compose exactly as in make_step (bounded
+        dispatches; zones sweep + source-parallel quadrature_noneq
+        tracer)."""
+        from . import amr_sparse, chemistry_noneq as cn, rays_multilevel
+        rt = self.rt
+        cfg = rt.config
+        dtype = (jnp.float64 if jax.config.jax_enable_x64
+                 else jnp.float32)
+        if noneq_tables is None:
+            noneq_tables = cn.NoneqTablesDevice.from_tables(rt.tables, dtype)
+        L = self.n_levels
+        self._eager_zones = split_compile
+        self.mesh = mesh
+        names6 = ("krate24", "krate25", "krate26",
+                  "crate24", "crate25", "crate26")
+
+        def zero(state):
+            return dataclasses.replace(
+                state, base=state.base.zero_rates(),
+                levels=tuple(
+                    dataclasses.replace(lv, fields=lv.fields.zero_rates())
+                    for lv in state.levels))
+
+        def traced(state):
+            if self.mesh is not None:
+                from ..parallel import rays_dist
+                rfs, diag = rays_dist.trace_point_sources_sparse_dist(
+                    state, rt.geom, stellar.sources, stellar.tables,
+                    self.mesh,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.base.rho.dtype,
+                    rates_mode="quadrature_noneq",
+                    host_phases=self._eager_zones)
+            else:
+                rfs, diag = rays_multilevel.trace_point_sources_sparse(
+                    state, rt.geom, stellar.sources, stellar.tables,
+                    dust_approximation=stellar.dust_approximation,
+                    max_pixel_level=stellar.max_pixel_level,
+                    dtype=state.base.rho.dtype,
+                    rates_mode="quadrature_noneq",
+                    host_phases=self._eager_zones)
+            base = dataclasses.replace(state.base, **{
+                nm: getattr(rfs[0], nm).reshape(state.base.shape)
+                for nm in names6})
+            levels = []
+            for ell in range(1, L):
+                lv = state.levels[ell - 1]
+                s = 8.0 ** ell    # per-leaf volume scaling (cf. _traced)
+                shp = lv.cover.shape
+                levels.append(dataclasses.replace(
+                    lv, fields=dataclasses.replace(lv.fields, **{
+                        nm: getattr(rfs[ell], nm).reshape(shp) * s
+                        for nm in names6})))
+            return (dataclasses.replace(state, base=base,
+                                        levels=tuple(levels)), rfs, diag)
+
+        def evolve_one(fields, spc, rf_flat, scale, shape, tgas):
+            rf_l = None
+            if rf_flat is not None:
+                rf_l = rays_multilevel.NoneqRateFields(*(
+                    jnp.asarray(getattr(rf_flat, f.name)).reshape(shape)
+                    * scale
+                    for f in dataclasses.fields(rf_flat)))
+            photo = rt._assemble_photo_rates(fields, rf_l)
+            spc = cn.evolve_noneq(
+                spc, dt, noneq_tables, photo=photo, n_substeps=n_substeps,
+                evolve_energy=evolve_energy,
+                tgas_fixed=None if evolve_energy else tgas,
+                current_redshift=cfg.current_redshift)
+            fields = dataclasses.replace(
+                fields, HI=spc.HI.astype(fields.HI.dtype),
+                HeI=spc.HeI.astype(fields.HI.dtype),
+                HeII=spc.HeII.astype(fields.HI.dtype),
+                tgas=(spc.tgas.astype(fields.tgas.dtype)
+                      if evolve_energy else fields.tgas))
+            return fields, spc
+
+        def chem_body(state, species_list, rfs):
+            base, spc0 = evolve_one(
+                state.base, species_list[0],
+                rfs[0] if rfs is not None else None, 1.0,
+                state.base.shape, state.base.tgas)
+            new_species = [spc0]
+            levels = []
+            for ell in range(1, L):
+                lv = state.levels[ell - 1]
+                f, spc = evolve_one(
+                    lv.fields, species_list[ell],
+                    rfs[ell] if rfs is not None else None, 8.0 ** ell,
+                    lv.cover.shape, lv.fields.tgas)
+                # re-zero ALL padding blocks: the network on their zero
+                # fields is garbage (cf. _chemistry_and_sync)
+                pad = self._pad_mask(lv, ell)
+                f = self._zero_pads_tree(f, pad)
+                spc = self._zero_pads_tree(spc, pad)
+                levels.append(dataclasses.replace(lv, fields=f))
+                new_species.append(spc)
+            state = dataclasses.replace(state, base=base,
+                                        levels=tuple(levels))
+            state = amr_sparse.sync_restriction_sparse(state)
+            # species restriction: refined parents hold the child average
+            # through the same block geometry
+            sp0, sp_lv = amr_sparse.sync_restriction_tree(
+                state, new_species[0], tuple(new_species[1:]))
+            return state, (sp0,) + tuple(sp_lv)
+
+        if split_compile:
+            chem_j = jax.jit(chem_body)
+
+            def sync(x):
+                float(jnp.max(x.reshape(-1)[:8]))
+
+            def step_split(state, species_list):
+                state = zero(state)
+                rfs = diag = None
+                if stellar is not None:
+                    state, rfs, diag = traced(state)
+                    sync(state.base.krate24)
+                if cfg.run_uvb_transfer:
+                    state = self._apply_sweep(state)   # eager: per-chunk
+                state, species_list = chem_j(state, species_list, rfs)
+                sync(state.base.HI)
+                if stellar is not None:
+                    return state, species_list, diag
+                return state, species_list
+
+            return step_split
+
+        def sweep_chem(state, species_list, rfs):
+            if cfg.run_uvb_transfer:
+                state = self._apply_sweep(state)
+            return chem_body(state, species_list, rfs)
+
+        if stellar is None:
+            return jax.jit(lambda state, species:
+                           sweep_chem(zero(state), species, None))
+        rest = jax.jit(sweep_chem)
+
+        def step(state, species_list):
+            state = zero(state)
+            state, rfs, diag = traced(state)
+            state, species_list = rest(state, species_list, rfs)
+            return state, species_list, diag
+
+        return step
