@@ -10,6 +10,10 @@ level-list binaries, our npz level lists, and cellArray snapshots:
                   (computeCellCoordinates, hdf42bin.f90:222-269)
 * info          — readCellArray.f90-style census + field summary
 * project       — slice/map extraction from a snapshot
+* npz2h4 / h42npz — level npz <-> the reference's HDF4 grid container
+                  (bin2hdf4.f90 layout; pure-Python SD codec io.hdf4)
+* snapshot2h4 / h42snapshot — cellArray npz <-> reference HDF4 snapshot
+                  (writeIonization layout, equiSources.f90:4797-4912)
 
 Usage: python -m radiativetransfer_tpu.io.convert <command> <args...>
 """
@@ -90,6 +94,128 @@ def _reconstruct_bitmaps(n: int, levels_stream: np.ndarray) -> list[np.ndarray]:
     return refined
 
 
+def npz2h4(src: str, dst: str) -> None:
+    """Level-list npz -> HDF4 grid file in the reference's exact layout
+    (bin2hdf4.f90:106-166): dataset 0 = 'nlevels' int32, then per level
+    'pos' (Fortran (ncell,3) = C (3,ncell)), 'lT', 'lnH', 'lx'
+    [, 'abun' (4,ncell)][, 'vel' (3,ncell)] — readable by the reference's
+    `sfstart`/`sfselect`/`sfrdata` ingestion (equiSources.f90:316-423)."""
+    from . import hdf4
+    levels = grid_io.read_level_npz(src)
+    ds = [("nlevels", np.array([len(levels)], np.int32))]
+    for lv in levels:
+        ds.append(("pos", np.ascontiguousarray(lv.pos.T, np.float32)))
+        ds.append(("lT", lv.lT.astype(np.float32)))
+        ds.append(("lnH", lv.lnH.astype(np.float32)))
+        ds.append(("lx", lv.lx.astype(np.float32)))
+        if lv.abun is not None:
+            ds.append(("abun", np.ascontiguousarray(lv.abun.T, np.float32)))
+        if lv.vel is not None:
+            ds.append(("vel", np.ascontiguousarray(lv.vel.T, np.float32)))
+    hdf4.write_sd(dst, ds)
+    print(f"wrote {dst}: {len(levels)} levels, {len(ds)} datasets")
+
+
+def h42npz(src: str, dst: str) -> None:
+    """HDF4 grid file (reference layout) -> level-list npz."""
+    levels = h42levels(src)
+    grid_io.write_level_npz(dst, levels)
+    for i, lv in enumerate(levels):
+        print(f"level = {i + 1}  cells = {lv.ncell}")
+    print(f"wrote {dst}")
+
+
+def h42levels(src: str) -> list:
+    """Parse an HDF4 grid file (reference layout) into LevelData lists
+    (the CLI ingests `grid.h4` inputs through this)."""
+    from . import hdf4
+    ds = hdf4.read_sd(src)
+    nlevels = int(np.asarray(ds[0][1]).reshape(-1)[0])
+    n_var = (len(ds) - 1) // nlevels
+    levels = []
+    for lv in range(nlevels):
+        chunk = ds[1 + lv * n_var: 1 + (lv + 1) * n_var]
+        by_name = {name: arr for name, arr in chunk}
+        # index-order fallback when names were not recoverable
+        keys = ["pos", "lT", "lnH", "lx"]
+        if len(chunk) >= 5:
+            keys.append("abun" if chunk[4][1].ndim == 2
+                        and chunk[4][1].shape[0] == 4 else "vel")
+        if len(chunk) >= 6:
+            keys.append("vel")
+        vals = {k: by_name.get(k, chunk[i][1])
+                for i, k in enumerate(keys)}
+        levels.append(grid_io.LevelData(
+            pos=np.ascontiguousarray(vals["pos"].T, np.float32),
+            lT=vals["lT"].astype(np.float32),
+            lnH=vals["lnH"].astype(np.float32),
+            lx=vals["lx"].astype(np.float32),
+            abun=(np.ascontiguousarray(vals["abun"].T, np.float32)
+                  if "abun" in vals else None),
+            vel=(np.ascontiguousarray(vals["vel"].T, np.float32)
+                 if "vel" in vals else None)))
+    return levels
+
+
+_CELLARRAY_FIELDS = ("HI", "HeI", "HeII", "temperature", "density")
+
+
+def snapshot2h4(src: str, dst: str) -> None:
+    """cellArray npz snapshot -> HDF4 in the reference's writeIonization
+    layout (equiSources.f90:4797-4912): 'base grid size' int32(3),
+    'level' int32, HI/HeI/HeII/temperature/density float32
+    [, velx/vely/velz][, abun2] — SFC leaf order preserved, restartable
+    by the reference (readLatestIonization, :4738-4795; the iteration
+    counter rides the filename digits, :1079-1080)."""
+    from . import hdf4
+    with np.load(src) as f:
+        ds = [("base grid size",
+               np.asarray(f["base_grid_size"], np.int32)),
+              ("level", f["level"].astype(np.int32))]
+        for k in _CELLARRAY_FIELDS:
+            ds.append((k, f[k].astype(np.float32)))
+        for k in ("velx", "vely", "velz"):
+            if k in f:
+                ds.append((k, f[k].astype(np.float32)))
+        if "abun2" in f:
+            ds.append(("abun2", f["abun2"].astype(np.float32)))
+    hdf4.write_sd(dst, ds)
+    print(f"wrote {dst}: {len(ds)} datasets")
+
+
+def h42snapshot(src: str, dst: str, itime: int | None = None) -> None:
+    """HDF4 cellArray (reference layout) -> npz snapshot.  itime defaults
+    to the source filename digits (equiSources.f90:1079-1080)."""
+    import re
+
+    from . import hdf4
+    ds = hdf4.read_sd(src)
+    by_name = {name: arr for name, arr in ds}
+    named = all(k in by_name for k in ("level",) + _CELLARRAY_FIELDS)
+    if not named:
+        # index order per writeIonization
+        keys = ["base grid size", "level", *_CELLARRAY_FIELDS]
+        rest = [a for _, a in ds[len(keys):]]
+        by_name = {k: ds[i][1] for i, k in enumerate(keys)}
+        if len(rest) >= 3:
+            by_name.update(velx=rest[0], vely=rest[1], velz=rest[2])
+        if len(rest) in (1, 4):
+            by_name["abun2"] = rest[-1]
+    if itime is None:
+        m = re.search(r"(\d+)\.h4$", src)
+        itime = int(m.group(1)) if m else 0
+    out = {"base_grid_size": np.asarray(by_name["base grid size"],
+                                        np.int32),
+           "itime": np.int32(itime),
+           "physical_box_size": np.float64(0.0),
+           "level": by_name["level"].astype(np.int32)}
+    for k in _CELLARRAY_FIELDS + ("velx", "vely", "velz", "abun2"):
+        if k in by_name:
+            out[k] = by_name[k].astype(np.float32)
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst}: {len(out['level'])} leaves, itime = {itime}")
+
+
 def info(src: str) -> None:
     with np.load(src) as f:
         if "base_grid_size" in f:
@@ -135,6 +261,10 @@ def main(argv=None):
     p = sub.add_parser("snapshot2levels")
     p.add_argument("src")
     p.add_argument("dst")
+    for cmd in ("npz2h4", "h42npz", "snapshot2h4", "h42snapshot"):
+        p = sub.add_parser(cmd)
+        p.add_argument("src")
+        p.add_argument("dst")
     p = sub.add_parser("info")
     p.add_argument("src")
     p = sub.add_parser("project")
@@ -147,6 +277,10 @@ def main(argv=None):
         bin2npz(args.src, args.dst, args.metals, args.kinematics)
     elif args.cmd == "snapshot2levels":
         snapshot2levels(args.src, args.dst)
+    elif args.cmd in ("npz2h4", "h42npz", "snapshot2h4", "h42snapshot"):
+        {"npz2h4": npz2h4, "h42npz": h42npz,
+         "snapshot2h4": snapshot2h4,
+         "h42snapshot": h42snapshot}[args.cmd](args.src, args.dst)
     elif args.cmd == "info":
         info(args.src)
     elif args.cmd == "project":

@@ -310,3 +310,118 @@ class TestPrecisionPolicy:
         x64 = np.asarray(o64.HI / o64.nh)
         x32 = np.asarray(o32.HI / o32.nh, np.float64)
         np.testing.assert_allclose(x32, x64, rtol=2e-3, atol=1e-6)
+
+
+class TestHDF4Interchange:
+    """Pure-Python HDF4-SD container compatibility (VERDICT r4 missing-1):
+    the reference reads grids and writes cellArray snapshots as HDF4 SDS
+    files by dataset index (equiSources.f90:316-423, 4797-4912); io.hdf4
+    writes DFSD-compatible files the mfhdf SD API reads, and parses both
+    old-style and NDG-bearing SD files."""
+
+    def test_sd_round_trip_types_and_order(self, tmp_path):
+        from radiativetransfer_tpu.io import hdf4
+        p = str(tmp_path / "t.h4")
+        ds = [("nlevels", np.array([3], np.int32)),
+              ("pos", np.arange(12, dtype=np.float32).reshape(3, 4)),
+              ("lT", np.linspace(0, 1, 7).astype(np.float32)),
+              ("big", np.arange(1000, dtype=np.float64))]
+        hdf4.write_sd(p, ds)
+        got = hdf4.read_sd(p)
+        assert [n for n, _ in got] == [n for n, _ in ds]
+        for (n0, a0), (n1, a1) in zip(ds, got):
+            assert a1.dtype.kind == a0.dtype.kind
+            np.testing.assert_array_equal(a1, a0)
+
+    def test_file_structure_is_valid_hdf4(self, tmp_path):
+        """Byte-level checks of the container: magic, DD chain, NDG
+        membership, big-endian NT declarations (HDF4 spec; the layout
+        the reference's sfselect-by-index walk sees)."""
+        import struct
+
+        from radiativetransfer_tpu.io import hdf4
+        p = str(tmp_path / "s.h4")
+        hdf4.write_sd(p, [("a", np.array([1.5, 2.5], np.float32))])
+        buf = open(p, "rb").read()
+        assert buf[:4] == hdf4.MAGIC
+        dds = hdf4._read_dds(buf)
+        tags = [t for t, *_ in dds]
+        for t in (hdf4.DFTAG_NT, hdf4.DFTAG_SDD, hdf4.DFTAG_SD,
+                  hdf4.DFTAG_NDG, hdf4.DFTAG_DIL):
+            assert t in tags
+        # data element bytes are big-endian IEEE
+        sd = hdf4._element(buf, dds, hdf4.DFTAG_SD, 1)
+        assert struct.unpack(">2f", sd) == (1.5, 2.5)
+
+    def test_grid_npz_h4_round_trip(self, tmp_path):
+        from radiativetransfer_tpu.io import convert, grid_io
+        rng = np.random.default_rng(5)
+        levels = []
+        for ncell in (64, 24):
+            levels.append(grid_io.LevelData(
+                pos=rng.uniform(0, 100, (ncell, 3)).astype(np.float32),
+                lT=rng.normal(4, 0.3, ncell).astype(np.float32),
+                lnH=rng.normal(-3, 0.5, ncell).astype(np.float32),
+                lx=np.zeros(ncell, np.float32),
+                vel=rng.normal(0, 50, (ncell, 3)).astype(np.float32)))
+        src = str(tmp_path / "g.npz")
+        h4 = str(tmp_path / "g.h4")
+        back = str(tmp_path / "g2.npz")
+        grid_io.write_level_npz(src, levels)
+        convert.npz2h4(src, h4)
+        convert.h42npz(h4, back)
+        got = grid_io.read_level_npz(back)
+        assert len(got) == len(levels)
+        for a, b in zip(levels, got):
+            np.testing.assert_array_equal(b.pos, a.pos)
+            np.testing.assert_array_equal(b.lnH, a.lnH)
+            np.testing.assert_array_equal(b.vel, a.vel)
+
+    def test_h4_dataset_layout_matches_reference(self, tmp_path):
+        """The Fortran reader sees dims in reversed (Fortran) order:
+        'pos' created with edges (ncell, 3) is C (3, ncell)
+        (bin2hdf4.f90:118-121) — dataset 0 must be 'nlevels' and the
+        per-level sequence pos/lT/lnH/lx (equiSources.f90:324-389)."""
+        from radiativetransfer_tpu.io import convert, grid_io, hdf4
+        ncell = 27
+        lv = grid_io.LevelData(
+            pos=np.arange(ncell * 3, dtype=np.float32).reshape(ncell, 3),
+            lT=np.zeros(ncell, np.float32),
+            lnH=np.zeros(ncell, np.float32),
+            lx=np.zeros(ncell, np.float32))
+        src = str(tmp_path / "g.npz")
+        grid_io.write_level_npz(src, [lv])
+        h4 = str(tmp_path / "g.h4")
+        convert.npz2h4(src, h4)
+        ds = hdf4.read_sd(h4)
+        assert ds[0][0] == "nlevels" and int(ds[0][1][0]) == 1
+        assert [n for n, _ in ds[1:5]] == ["pos", "lT", "lnH", "lx"]
+        pos = ds[1][1]
+        assert pos.shape == (3, ncell)       # C slowest-first = Fortran
+        np.testing.assert_array_equal(pos[0], lv.pos[:, 0])  # x-column
+
+    def test_snapshot_h4_round_trip_sfc_preserved(self, tmp_path):
+        """cellArray npz -> .h4 -> npz keeps the SFC leaf stream intact
+        (writeIonization layout, equiSources.f90:4797-4912)."""
+        import jax.numpy as jnp
+
+        from radiativetransfer_tpu.core.state import make_state
+        from radiativetransfer_tpu.io import convert, snapshot
+        from radiativetransfer_tpu.constants import MH, PSI
+        n = 8
+        rng = np.random.default_rng(9)
+        nh = rng.lognormal(0, 0.5, (n, n, n)) * 1e-3
+        st = make_state(nh * MH / PSI, np.full((n, n, n), 1e4), nh,
+                        dtype=jnp.float64)
+        p = str(tmp_path / "cellArray0042.npz")
+        snapshot.write_snapshot(p, st, 42, 1.0)
+        h4 = str(tmp_path / "cellArray0042.h4")
+        back = str(tmp_path / "back.npz")
+        convert.snapshot2h4(p, h4)
+        convert.h42snapshot(h4, back)
+        with np.load(p) as a, np.load(back) as b:
+            assert int(b["itime"]) == 42    # from the filename digits
+            for k in ("level", "HI", "HeI", "HeII", "temperature",
+                      "density"):
+                np.testing.assert_array_equal(
+                    b[k], a[k].astype(b[k].dtype), err_msg=k)
