@@ -44,15 +44,16 @@ def _restore_noneq(container, species, restart_snap, restart_ckpt,
                   f"{restart_ckpt}")
             return cont2, sp2, meta["itime"]
         except Exception:
-            try:
-                cont2, meta = ckpt_mod.restore_sharded(restart_ckpt,
-                                                       container)
-                print("warning: checkpoint carries no species state; "
-                      "H2/H2+/H-/energy re-initialized from equilibrium")
-                return cont2, species, meta["itime"]
-            except Exception:
-                print(f"warning: could not restore {restart_ckpt}")
-                return container, species, None
+            # the checkpoint may be a fields-only (equilibrium-run) tree;
+            # fall back to restoring just the fields.  Any failure of THAT
+            # restore is fatal — the reference treats inconsistent restart
+            # data as a hard stop (equiSources.f90:1124-1127), and silently
+            # continuing from fresh equilibrium state would mask it
+            # (ADVICE r4).
+            cont2, meta = ckpt_mod.restore_sharded(restart_ckpt, container)
+            print("warning: checkpoint carries no species state; "
+                  "H2/H2+/H-/energy re-initialized from equilibrium")
+            return cont2, species, meta["itime"]
     if restart_snap is not None:
         sp2 = snapshot.read_species(restart_snap, species)
         if sp2 is not None:
@@ -66,8 +67,12 @@ def _restore_noneq(container, species, restart_snap, restart_ckpt,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config", nargs="?", default="inputParameters")
-    ap.add_argument("--iters", type=int, default=0,
-                    help="max iterations (0 = config / until converged)")
+    ap.add_argument("--iters", type=int, default=-1,
+                    help="max iterations; 0 = unbounded (the reference's "
+                         "run-until-judged contract, equiSources.f90:1230 — "
+                         "the convergence break at |dnf| <= 1e-6 still "
+                         "applies); default: config max_iterations, itself "
+                         "0 = unbounded")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu / axon / tpu)")
     ap.add_argument("--x64", action="store_true",
@@ -84,8 +89,10 @@ def main(argv=None):
                          "ingested data under jax.experimental.checkify "
                          "(gather/scatter bounds + NaN/Inf + division "
                          "checks — the runtime analog of the reference's "
-                         "stop-asserts, equiSources.f90:2962-2976); "
-                         "uniform grids")
+                         "stop-asserts, equiSources.f90:2962-2976); covers "
+                         "uniform, two-level AMR, multilevel, and "
+                         "block-sparse storage (sparse: slot-map + "
+                         "padding-block indexing on a 12-direction plan)")
     ap.add_argument("--dump-rates", action="store_true",
                     help="write rates.out / cool_rates.out like the reference")
     ap.add_argument("--profile", default="",
@@ -214,11 +221,16 @@ def main(argv=None):
     grid_path = os.path.join(cfg.sph_dir, cfg.grid)
     if os.path.exists(grid_path + ".npz"):
         levels = grid_io.read_level_npz(grid_path + ".npz")
+    elif os.path.exists(grid_path + ".h4"):
+        # the reference's own container (equiSources.f90:316-423), read
+        # by the pure-Python HDF4-SD parser (io.hdf4 / io.convert)
+        from .io.convert import h42levels
+        levels = h42levels(grid_path + ".h4")
     elif os.path.exists(grid_path + ".dat"):
         levels = grid_io.read_fortran_level_binary(
             grid_path + ".dat", cfg.read_metals, cfg.read_kinematics)
     else:
-        sys.exit(f"grid not found: {grid_path}(.npz|.dat)")
+        sys.exit(f"grid not found: {grid_path}(.npz|.h4|.dat)")
 
     if cfg.mode == MODE_PRINT_NUMBER_OF_CELLS:
         for i, lv in enumerate(levels):
@@ -347,15 +359,11 @@ def main(argv=None):
 
     # ---- model + iteration loop ----------------------------------------
     model = step_mod.RTModel.setup(cfg, geom, dtype=dtype)
-    if args.debug_checkify:
-        if use_sparse or use_ml or use_amr:
-            print("warning: --debug-checkify instruments the uniform-grid "
-                  "paths; skipping on nested storage")
-        else:
-            from .core import debug as debug_mod
-            debug_mod.preflight(model, state, stellar_ctx)
-            print("checkify pre-flight passed (bounds/NaN/division clean "
-                  "on the ingested data)")
+    if args.debug_checkify and not (use_sparse or use_ml or use_amr):
+        from .core import debug as debug_mod
+        debug_mod.preflight(model, state, stellar_ctx)
+        print("checkify pre-flight passed (bounds/NaN/division clean "
+              "on the ingested data)")
     if args.dump_rates:
         from .tables.chemistry_rates import dump_rates
         dump_rates(model.tables,
@@ -373,7 +381,8 @@ def main(argv=None):
                 amodel.n_coupling_iters = args.coupling_depth
                 print(f"coupling depth: {args.coupling_depth} (fixed)")
             else:
-                d = amodel.validate_coupling_depth(sparse_state)
+                d = amodel.validate_coupling_depth(
+                    sparse_state, eager=args.split_compile)
                 print(f"coupling depth: {d} (validated on the ingested "
                       f"grid, residual < 1e-8)")
         # per-level equilibrium init runs elementwise on block storage;
@@ -396,6 +405,12 @@ def main(argv=None):
             levels=tuple(new_levels))
         sparse_state = amr_sparse.sync_restriction_sparse(sparse_state)
         nf0 = amodel.neutral_fraction(sparse_state)
+        if args.debug_checkify:
+            from .core import debug as debug_mod
+            debug_mod.preflight_sparse(amodel, sparse_state, stellar_ctx)
+            print("checkify pre-flight passed on block-sparse storage "
+                  "(slot-map/padding-block bounds, NaN/Inf, division "
+                  "clean on the ingested data)")
     elif use_ml:
         from .core import amr as amr_mod, step_amr
         amodel = step_amr.MultiLevelModel.setup(model, ml_state.n_levels)
@@ -413,6 +428,10 @@ def main(argv=None):
             refined=ml_state.refined)
         ml_state = amr_mod.sync_restriction_multi(ml_state)
         nf0 = amodel.neutral_fraction(ml_state)
+        if args.debug_checkify:
+            from .core import debug as debug_mod
+            debug_mod.preflight_ml(amodel, ml_state, stellar_ctx)
+            print("checkify pre-flight passed on multilevel storage")
     elif use_amr:
         import dataclasses as dc
 
@@ -423,6 +442,15 @@ def main(argv=None):
             fine=model.initialize_equilibrium(amr_state.fine))
         amr_state = amr_mod.sync_restriction(amr_state)
         nf0 = amodel.neutral_fraction(amr_state)
+        if args.debug_checkify:
+            # two-level AMR checks through its MultiLevelState view
+            from .core import debug as debug_mod
+            mlv = amr_mod.MultiLevelState(
+                levels=(amr_state.base, amr_state.fine),
+                refined=(amr_state.refined,))
+            debug_mod.preflight_ml(step_amr.MultiLevelModel.setup(model, 2),
+                                   mlv, stellar_ctx)
+            print("checkify pre-flight passed on two-level AMR storage")
     else:
         state = model.initialize_equilibrium(state)
         nf0 = model.neutral_fraction(state)
@@ -478,10 +506,34 @@ def main(argv=None):
     if args.chemistry == "noneq":
         from .core import chemistry_noneq as cn
         if use_sparse:
-            sys.exit("--chemistry noneq is not yet wired for block-sparse "
-                     "storage; use --amr-storage dense (if it fits) or "
-                     "equilibrium chemistry")
-        if use_amr or use_ml:
+            # block-sparse noneq (VERDICT r4 item 3): species per level —
+            # dense base + block-shaped refined levels, padding blocks
+            # zeroed (their zero fields would seed garbage species)
+            import dataclasses as dc
+            species = [cn.species_from_field_state(sparse_state.base)]
+            for ell, lv in enumerate(sparse_state.levels, start=1):
+                spc = cn.species_from_field_state(lv.fields)
+                pad = lv.origin[:, 0] >= geom.nx * 2 ** ell
+                spc = amodel._zero_pads_tree(spc, pad)
+                species.append(spc)
+            species = tuple(species)
+            sparse_state, species, it2 = _restore_noneq(
+                sparse_state, species, restart_snap, restart_ckpt,
+                snapshot)
+            itime = it2 if it2 is not None else itime
+            if mesh is not None:
+                n_dev = int(np.prod(mesh.devices.shape))
+                print(f"block-sparse noneq distributed over {n_dev} "
+                      f"devices: zones sweep + source-parallel "
+                      f"quadrature_noneq tracer")
+            step = amodel.make_noneq_step(
+                args.dt_myr * MYR, stellar_ctx,
+                evolve_energy=args.evolve_energy,
+                split_compile=args.split_compile, mesh=mesh)
+            print(f"non-equilibrium chemistry (block-sparse, "
+                  f"{sparse_state.n_levels} levels): dt = {args.dt_myr} "
+                  f"Myr, evolve_energy = {args.evolve_energy}")
+        elif use_amr or use_ml:
             # nested grids run through the L-level noneq step
             if use_amr:
                 from .core import amr as amr_mod
@@ -528,10 +580,17 @@ def main(argv=None):
                      else ""))
     elif use_sparse:
         if mesh is not None:
-            print("warning: block-sparse deep AMR runs single-device for "
-                  "now; ignoring the mesh for the sparse step")
+            n_dev = int(np.prod(mesh.devices.shape))
+            if cfg.sweep_strategy not in ("", "auto", "zones"):
+                print(f"warning: sparse deep AMR distributes via the "
+                      f"angle-decomposed zones strategy (not "
+                      f"{cfg.sweep_strategy}); using zones")
+            print(f"block-sparse deep AMR distributed over {n_dev} "
+                  f"devices: zones sweep (direction chunks + psum) + "
+                  f"source-parallel tracer")
         step = amodel.make_step(stellar_ctx,
-                                split_compile=args.split_compile)
+                                split_compile=args.split_compile,
+                                mesh=mesh)
     elif use_ml:
         if mesh is not None:
             if cfg.sweep_strategy not in ("", "auto"):
@@ -550,15 +609,23 @@ def main(argv=None):
         if mesh is not None:
             state = pmesh.shard_state(state, mesh)
         step = model.make_step(stellar_ctx, mesh=mesh)
-    max_iter = args.iters or cfg.max_iterations or 50
+    # 0 = unbounded: the reference iterates until externally judged/killed
+    # (equiSources.f90:1230); the convergence break below still applies
+    max_iter = args.iters if args.iters >= 0 else cfg.max_iterations
+    import itertools
+    iter_range = itertools.count() if max_iter == 0 else range(max_iter)
     prev_nf = np.inf
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    for _ in range(max_iter):
+    for _ in iter_range:
         itime += 1
         t0 = time.time()
         if use_sparse:
-            if stellar_ctx is not None:
+            if species is not None:
+                out = step(sparse_state, species)
+                sparse_state, species = out[0], out[1]
+                diag = out[2] if len(out) > 2 else None
+            elif stellar_ctx is not None:
                 sparse_state, diag = step(sparse_state)
             else:
                 sparse_state = step(sparse_state)
@@ -599,6 +666,14 @@ def main(argv=None):
         throughput = geom.nx ** 3 * cfg.n_directions / max(dt_it, 1e-9)
         msg = (f"itime={itime} neutral={nf:.8f} dt={dt_it:.2f}s "
                f"({throughput:.2e} cells*angles/s)")
+        pt = getattr(amodel, "last_phase_times", None) if use_sparse else None
+        if pt:
+            parts = [f"{k}={v:.1f}s" for k, v in pt.items()
+                     if not isinstance(v, dict)]
+            sub = pt.get("tracer_phases") or {}
+            parts += [f"{k}={v:.1f}s" for k, v in sub.items()
+                      if not k.endswith("_steps")]
+            print("  phases: " + " ".join(parts))
         if diag is not None:
             from .core.rays import cosmic_spectrum, escape_fractions
             frac = escape_fractions(diag, stellar_ctx.sources.weight)
@@ -624,9 +699,15 @@ def main(argv=None):
                 ckpt_mod.checkpoint_name(itime, args.snapshot_dir),
                 container, itime, geom.physical_box_size)
         elif use_sparse:
+            extra = None
+            if species is not None:
+                extra = {}
+                for ell, spc in enumerate(species):
+                    extra.update(snapshot.species_extra(
+                        spc, prefix=f"species{ell}"))
             snapshot.write_snapshot_sparse(
                 snapshot.snapshot_name(itime, args.snapshot_dir),
-                sparse_state, itime, geom.physical_box_size)
+                sparse_state, itime, geom.physical_box_size, extra=extra)
         elif use_ml:
             extra = None
             if species is not None:
