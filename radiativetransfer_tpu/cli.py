@@ -164,6 +164,13 @@ def main(argv=None):
                     help="nested-grid sweep Gauss-Seidel coupling passes "
                          "per slab (0 = validate on the ingested grid at "
                          "startup and adopt the smallest converged depth)")
+    ap.add_argument("--sweep-window", choices=("auto", "off"),
+                    default="auto",
+                    help="block-sparse sweep: confine the coupled "
+                         "fine-level stack to the static refinement "
+                         "window (exact-parity clustered-refinement fast "
+                         "path; auto falls back to full planes when "
+                         "refinement spans the grid)")
     ap.add_argument("--split-compile", action="store_true",
                     help="sparse deep-AMR: compile the sweep's zone-group "
                          "scans individually instead of one monolithic XLA "
@@ -376,6 +383,7 @@ def main(argv=None):
         from .core import amr_sparse, step_amr
         amodel = step_amr.SparseMLModel.setup(model,
                                               sparse_state.n_levels)
+        amodel.window_enabled = args.sweep_window != "off"
         if cfg.run_uvb_transfer:
             if args.coupling_depth:
                 amodel.n_coupling_iters = args.coupling_depth
@@ -669,11 +677,17 @@ def main(argv=None):
         pt = getattr(amodel, "last_phase_times", None) if use_sparse else None
         if pt:
             parts = [f"{k}={v:.1f}s" for k, v in pt.items()
-                     if not isinstance(v, dict)]
+                     if isinstance(v, (int, float))]
             sub = pt.get("tracer_phases") or {}
             parts += [f"{k}={v:.1f}s" for k, v in sub.items()
-                      if not k.endswith("_steps")]
+                      if isinstance(v, (int, float))
+                      and not k.endswith("_steps")]
             print("  phases: " + " ".join(parts))
+            prof = (sub.get(f"level{stellar_ctx.max_pixel_level}_alive")
+                    if stellar_ctx is not None else None)
+            if prof:
+                print("  final-phase alive/chunk: "
+                      + "/".join(str(c) for c in prof))
         if diag is not None:
             from .core.rays import cosmic_spectrum, escape_fractions
             frac = escape_fractions(diag, stellar_ctx.sources.weight)

@@ -171,6 +171,9 @@ def checked_sweep_chemistry_sparse(amodel, state):
     plan1 = (sweep_multilevel.build_ml_sweep_plan(1, rt.geom.nx,
                                                   amodel.n_levels)
              if cfg.run_uvb_transfer else None)
+    # resolve the static refinement window eagerly (it is a trace-time
+    # static) so the CHECKED sweep exercises the windowed production path
+    win = sweep_sparse.compute_window(state)
 
     def run(state):
         if cfg.run_uvb_transfer:
@@ -184,7 +187,8 @@ def checked_sweep_chemistry_sparse(amodel, state):
                 k0, lv_k, state, plan1, jnp.asarray(rt.uvb, k0.dtype),
                 rt.geom.cell_size,
                 n_coupling_iters=amodel.n_coupling_iters,
-                max_dirs_per_launch=amodel.max_dirs_per_launch)
+                max_dirs_per_launch=amodel.max_dirs_per_launch,
+                window=win)
             state = dataclasses.replace(
                 state,
                 base=dataclasses.replace(state.base, Jmean=j0),

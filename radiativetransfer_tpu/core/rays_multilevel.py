@@ -544,14 +544,19 @@ def _trace_all_phases_ml_host(fields, init_state, tables_dev, *, geom,
         runner = get_runner(level, last, r_stop)
         t0 = _time.time()
         steps = 0
+        alive_profile = []
         while steps < max_steps:
             state, diag, rfs, cnt = runner(state, fields, ctx_arrays,
                                            diag, rfs, src_of_ray)
             steps += chunk_steps
-            if int(cnt) == 0:       # also syncs: one dispatch in flight
+            alive_profile.append(int(cnt))   # also syncs: one in flight
+            if alive_profile[-1] == 0:
                 break
         LAST_TRACE_PHASE_TIMES[f"level{level}"] = _time.time() - t0
         LAST_TRACE_PHASE_TIMES[f"level{level}_steps"] = steps
+        # per-chunk alive counts: the dead-lane profile that decides
+        # whether between-chunk compaction pays at this configuration
+        LAST_TRACE_PHASE_TIMES[f"level{level}_alive"] = alive_profile
         state, diag = get_flush(level, last)(state, diag, sig_ratio,
                                              src_of_ray)
     return _split_rfs(rfs, sizes), diag

@@ -474,6 +474,33 @@ class SparseMLModel:
     # needs (BASELINE.md r4: ~11 s/direction x 192 directions single-chip;
     # VERDICT r4 item 1)
     mesh: "object" = None
+    # cached static refinement window for the windowed sparse sweep
+    # (sweep_sparse.compute_window) + the refined0 digest it was computed
+    # from; resolved from the CONCRETE state before jit tracing
+    _window: "object" = "unset"
+    _window_key: "object" = None
+    # disable the windowed sweep (A/B + fallback knob; CLI --sweep-window)
+    window_enabled: bool = True
+
+    def _ensure_window(self, state):
+        """Compute/cache the sweep's static refinement window from a
+        CONCRETE state (host-side; the window is a trace-time static, so
+        it must be resolved before the jitted step traces).  Re-resolves
+        if the refinement bitmap changed (a different state through the
+        same model)."""
+        import hashlib
+
+        from . import sweep_sparse
+        if not self.window_enabled:
+            self._window = None
+            self._window_key = "disabled"
+            return None
+        r0 = np.asarray(jax.device_get(state.refined0))
+        key = hashlib.sha1(np.packbits(r0.astype(np.uint8))).digest()
+        if self._window == "unset" or key != self._window_key:
+            self._window = sweep_sparse.compute_window(state)
+            self._window_key = key
+        return self._window
 
     @classmethod
     def setup(cls, rt_model, n_levels: int) -> "SparseMLModel":
@@ -544,6 +571,7 @@ class SparseMLModel:
         lv_k = [opacity.compute_opacities(
             lv.fields.HI, lv.fields.HeI, lv.fields.HeII, rt.opacity_coef)
             for lv in state.levels]
+        win = self._window if self._window != "unset" else "auto"
         if self.mesh is not None:
             from ..parallel import sweep_dist
             j0, jbs = sweep_dist.diffuse_sweep_sparse_zones(
@@ -551,13 +579,13 @@ class SparseMLModel:
                 rt.geom.cell_size, self.mesh,
                 n_coupling_iters=self.n_coupling_iters,
                 max_dirs_per_launch=self.max_dirs_per_launch,
-                eager_rounds=self._eager_zones)
+                eager_rounds=self._eager_zones, window=win)
         else:
             j0, jbs = sweep_sparse.diffuse_sweep_sparse(
                 k0, lv_k, state, self.plan, jnp.asarray(rt.uvb, k0.dtype),
                 rt.geom.cell_size, n_coupling_iters=self.n_coupling_iters,
                 max_dirs_per_launch=self.max_dirs_per_launch,
-                eager_zones=self._eager_zones)
+                eager_zones=self._eager_zones, window=win)
         return dataclasses.replace(
             state,
             base=dataclasses.replace(state.base, Jmean=j0),
@@ -644,6 +672,7 @@ class SparseMLModel:
                 # per-phase wall times land in self.last_phase_times (the
                 # production breakdown BASELINE.md publishes; each phase
                 # ends with a data-dependent sync so the times are real)
+                self._ensure_window(state)
                 times = {}
                 t0 = _time.time()
                 state = zero(state)
@@ -669,10 +698,19 @@ class SparseMLModel:
 
             return step_split
         if stellar is None:
-            return jax.jit(lambda s: self.step(s)[0])
+            jitted = jax.jit(lambda s: self.step(s)[0])
+
+            def run(state):
+                # resolve the static sweep window from the concrete state
+                # before the jitted step traces
+                self._ensure_window(state)
+                return jitted(state)
+
+            return run
         rest = jax.jit(self._sweep_and_chemistry)
 
         def step(state):
+            self._ensure_window(state)
             state = dataclasses.replace(
                 state, base=state.base.zero_rates(),
                 levels=tuple(
@@ -726,15 +764,16 @@ class SparseMLModel:
                 res = max(res, d / s2)
             return res
 
+        win = self._ensure_window(state)
         prev = sweep_sparse.diffuse_sweep_sparse(
             k0, lv_k, state, plan1, uvb, rt.geom.cell_size,
             n_coupling_iters=1, eager_zones=eager,
-            max_dirs_per_launch=self.max_dirs_per_launch)
+            max_dirs_per_launch=self.max_dirs_per_launch, window=win)
         for iters in range(1, max_iters + 1):
             nxt = sweep_sparse.diffuse_sweep_sparse(
                 k0, lv_k, state, plan1, uvb, rt.geom.cell_size,
                 n_coupling_iters=iters + 1, eager_zones=eager,
-                max_dirs_per_launch=self.max_dirs_per_launch)
+                max_dirs_per_launch=self.max_dirs_per_launch, window=win)
             if leaf_max_diff(prev, nxt) < tol:
                 self.n_coupling_iters = iters
                 return iters
@@ -900,6 +939,7 @@ class SparseMLModel:
                 float(jnp.max(x.reshape(-1)[:8]))
 
             def step_split(state, species_list):
+                self._ensure_window(state)
                 state = zero(state)
                 rfs = diag = None
                 if stellar is not None:
@@ -921,11 +961,18 @@ class SparseMLModel:
             return chem_body(state, species_list, rfs)
 
         if stellar is None:
-            return jax.jit(lambda state, species:
-                           sweep_chem(zero(state), species, None))
+            jitted = jax.jit(lambda state, species:
+                             sweep_chem(zero(state), species, None))
+
+            def run(state, species):
+                self._ensure_window(state)
+                return jitted(state, species)
+
+            return run
         rest = jax.jit(sweep_chem)
 
         def step(state, species_list):
+            self._ensure_window(state)
             state = zero(state)
             state, rfs, diag = traced(state)
             state, species_list = rest(state, species_list, rfs)

@@ -125,11 +125,16 @@ def _slab_params(params: dict, i, dtype):
     return out
 
 
-def _segment_outputs(i_top_in, kappa_slab, sp, cell_size, side_j, side_k):
+def _segment_outputs(i_top_in, kappa_slab, sp, cell_size, side_j, side_k,
+                     want_segs: bool = False):
     """All 3 chained segment outputs for one slab plane.
 
-    side_j / side_k: callables mapping a segment-output plane to the upwind
-    side-input plane (closures encode level coupling and boundaries).
+    side_j / side_k: callables mapping (segment-output plane, segment tag
+    0|1) to the upwind side-input plane (closures encode level coupling
+    and boundaries; the tag lets window boundaries inject per-segment pad
+    lines — core.sweep_sparse).  want_segs additionally returns the raw
+    chained intermediates ('seg1'/'seg2': the planes the side closures
+    consume) for window-merged re-evaluation.
     """
     dtype = i_top_in.dtype
 
@@ -140,13 +145,13 @@ def _segment_outputs(i_top_in, kappa_slab, sp, cell_size, side_j, side_k):
 
     is2_xz = (sp["chain2"] == SEG_XZ)[:, None, None, None]
     act2 = (sp["chain2"] != 0)[:, None, None, None]
-    i_in2 = jnp.where(is2_xz, side_j(i_out1), side_k(i_out1))
+    i_in2 = jnp.where(is2_xz, side_j(i_out1, 0), side_k(i_out1, 0))
     len2 = jnp.where(sp["chain2"] == SEG_XZ, sp["len_xz"], sp["len_yz"])
     i_out2, lm2 = _attenuate(i_in2, seg_tau(len2))
 
     is3_xz = (sp["chain3"] == SEG_XZ)[:, None, None, None]
     act3 = (sp["chain3"] != 0)[:, None, None, None]
-    i_in3 = jnp.where(is3_xz, side_j(i_out2), side_k(i_out2))
+    i_in3 = jnp.where(is3_xz, side_j(i_out2, 1), side_k(i_out2, 1))
     len3 = jnp.where(sp["chain3"] == SEG_XZ, sp["len_xz"], sp["len_yz"])
     i_out3, lm3 = _attenuate(i_in3, seg_tau(len3))
 
@@ -167,9 +172,13 @@ def _segment_outputs(i_top_in, kappa_slab, sp, cell_size, side_j, side_k):
                          jnp.where(t == TAG_XZ, out_xz,
                                    jnp.where(t == TAG_YZ, out_yz, fallback)))
 
-    return {"top": top, "j_slab": j_slab,
-            "exit_jface": by_tag(sp["top_xz"]),
-            "exit_kface": by_tag(sp["top_yz"])}
+    out = {"top": top, "j_slab": j_slab,
+           "exit_jface": by_tag(sp["top_xz"]),
+           "exit_kface": by_tag(sp["top_yz"])}
+    if want_segs:
+        out["seg1"] = i_out1
+        out["seg2"] = i_out2
+    return out
 
 
 def sweep_zone_amr(kc_rot, kf_rot, refined_rot, zone_params, uvb,
@@ -243,7 +252,7 @@ def sweep_zone_amr(kc_rot, kf_rot, refined_rot, zone_params, uvb,
         c_nb_ref_k = shift_plane_k(r_i[None, None], jnp.zeros((1, 1, ny, 1), bool))[0, 0]
 
         def fine_pass(xy_in, kf_slab, spf, c_est):
-            def side_j(x):
+            def side_j(x, seg):
                 fine = _shift_j(x, uvb_j_f)
                 if c_est is None:
                     return fine
@@ -251,7 +260,7 @@ def sweep_zone_amr(kc_rot, kf_rot, refined_rot, zone_params, uvb,
                     shift_plane_j(c_est["exit_jface"], uvb_j_c))
                 return jnp.where(nb_fine_j[None, None], fine, coarse_exit)
 
-            def side_k(x):
+            def side_k(x, seg):
                 fine = _shift_k(x, uvb_k_f)
                 if c_est is None:
                     return fine
@@ -265,7 +274,7 @@ def sweep_zone_amr(kc_rot, kf_rot, refined_rot, zone_params, uvb,
                                     side_j, side_k)
 
         def coarse_pass(f0_est, f1_est):
-            def side_j(x):
+            def side_j(x, seg):
                 base = _shift_j(x, uvb_j_c)
                 if f0_est is None:
                     return base
@@ -281,7 +290,7 @@ def sweep_zone_amr(kc_rot, kf_rot, refined_rot, zone_params, uvb,
                 fine_exit = shift_plane_j(leaf, uvb_j_c)
                 return jnp.where(c_nb_ref_j[None, None], fine_exit, base)
 
-            def side_k(x):
+            def side_k(x, seg):
                 base = _shift_k(x, uvb_k_c)
                 if f0_est is None:
                     return base

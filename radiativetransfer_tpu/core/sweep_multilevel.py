@@ -187,7 +187,7 @@ def sweep_zone_ml(k_rots, cover_rots, refined_rots, params, uvb,
 
 
 def _slab_gauss_seidel(carry, x, L, ny, nz, D, uvb_j, uvb_k, cell_size,
-                       n_coupling_iters, dtype):
+                       n_coupling_iters, dtype, level0_segs: bool = False):
     """Gauss-Seidel coupling passes for ONE base slab of an L-level stack.
 
     carry[l] = (top plane, cover-below, refined-below) at level l;
@@ -196,6 +196,12 @@ def _slab_gauss_seidel(carry, x, L, ny, nz, D, uvb_j, uvb_k, cell_size,
     (est, cov, ref) where est[l][s] holds the converged segment-output
     planes.  Shared by the dense (sweep_zone_ml) and block-sparse
     (core.sweep_sparse) sweeps — the transport math lives only here.
+
+    uvb_j[0] / uvb_k[0] may be a (pad_seg2, pad_seg3) tuple of boundary
+    lines instead of one plane: the windowed sparse sweep injects the
+    plain full-plane pass's per-segment intermediates at the window edge
+    (core.sweep_sparse).  level0_segs=True keeps the level-0 chained
+    intermediates ('seg1'/'seg2') in est[0][0] for the window merge.
     """
     def sel_child(plane_f, cj, ck, nyl, nzl):
         """(D,3,2ny,2nz) finer plane -> (D,3,ny,nz): per-direction child
@@ -263,11 +269,19 @@ def _slab_gauss_seidel(carry, x, L, ny, nz, D, uvb_j, uvb_k, cell_size,
                             face, uvb_l, uvb_c, sub_key, in_key,
                             fixed_j: bool, sp=sp, c_est=c_est,
                             f0=f0, f1=f1, nyl=nyl, nzl=nzl):
-                    def side(xp):
-                        v = shift_x(xp, uvb_l)
+                    def side(xp, seg):
+                        pad = (uvb_l[seg] if isinstance(uvb_l, tuple)
+                               else uvb_l)
+                        v = shift_x(xp, pad)
                         if c_est is not None:
+                            # tuple pads only occur at level 0 (window
+                            # edges); the coarse pad line here feeds only
+                            # first-row cells, which windows keep
+                            # uncovered — any type-correct plane works
+                            pad_c = (uvb_c[0] if isinstance(uvb_c, tuple)
+                                     else uvb_c)
                             coarse = _prolong_plane(
-                                shift_pl(c_est[face], uvb_c))
+                                shift_pl(c_est[face], pad_c))
                             v = jnp.where(nb_cov[None, None], v, coarse)
                         if f0 is not None:
                             sub1 = (sp[sub_key] >= 0.5)[:, None, None,
@@ -281,7 +295,7 @@ def _slab_gauss_seidel(carry, x, L, ny, nz, D, uvb_j, uvb_k, cell_size,
                                 sel_child(f1[face], cjx, ckx, nyl, nzl),
                                 sel_child(f0[face], cjx, ckx, nyl, nzl))
                             v = jnp.where(nb_ref[None, None],
-                                          shift_pl(leaf, uvb_l), v)
+                                          shift_pl(leaf, pad), v)
                         return v
                     return side
 
@@ -298,7 +312,8 @@ def _slab_gauss_seidel(carry, x, L, ny, nz, D, uvb_j, uvb_k, cell_size,
 
                 new_est[l][s] = _segment_outputs(
                     xy_in, x[l]["kappa"][s][None], sp,
-                    cell_size / 2 ** l, side_j, side_k)
+                    cell_size / 2 ** l, side_j, side_k,
+                    want_segs=(level0_segs and l == 0))
         return new_est
 
     est = one_pass(None)

@@ -34,7 +34,8 @@ import numpy as np
 
 from ..geometry import octants
 from .amr_sparse import SparseMLState
-from .sweep_amr import _prolong_plane
+from .sweep import _shift_j, _shift_k
+from .sweep_amr import _prolong_plane, _segment_outputs
 from .sweep_multilevel import (MLSweepPlan, MLZoneBatch,
                                _slab_gauss_seidel)
 
@@ -78,7 +79,7 @@ def _scatter_plane_add(blocks, sp, ox, plane):
 
 
 def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
-                      weight, n_coupling_iters: int = 4):
+                      weight, n_coupling_iters: int = 4, window=None):
     """Sweep one zone over a block-sparse L-level grid.
 
     k0_rot: (n, 3, n, n) rotated base opacity; refined0_rot: (n, n, n);
@@ -87,9 +88,18 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
       block data rotated within-block (octants.rotate_blocks_to_sweep) —
       and slot (T, T, T) rotated tile map;
     params[l]: (D, n*2^l) template-chain arrays.
+    window: None, or (W static int, (wy0, wz0) traced int32 scalars in
+    base cells, multiples of be) — run the coupled fine-level stack only
+    on the W x W cross-section window containing all refinement
+    (_sweep_zone_sparse_windowed; exact-parity clustered-refinement
+    optimization, the deep sweep's dominant cost driver).
     Returns (j0_rot (n, 3, n, n), [(3, nb, be, be, be) J blocks per
     refined level], all in the rotated frame / rotated block layout).
     """
+    if window is not None and len(lv_rots) > 0:
+        return _sweep_zone_sparse_windowed(
+            k0_rot, refined0_rot, lv_rots, params, uvb, cell_size, weight,
+            n_coupling_iters, window)
     L = 1 + len(lv_rots)
     n = k0_rot.shape[0]
     ny = nz = n
@@ -230,11 +240,243 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
     return j0, list(j_flats)
 
 
+def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
+                                cell_size, weight, n_coupling_iters,
+                                window):
+    """sweep_zone_sparse with the coupled fine-level stack confined to a
+    static W x W cross-section window (base cells) containing all
+    refinement — the clustered-refinement shape of real cosmological
+    grids, where the full-plane Gauss-Seidel stack wastes most of its
+    area on empty fine levels (the deep sweep's dominant cost,
+    BASELINE.md r4: finest-level planes are ~87% of the per-pass work).
+
+    EXACT parity with the unwindowed sweep by construction:
+
+    * P1 — a plain (uncoupled) level-0 full-plane pass.  Shifts are
+      one-directional in the rotated frame, so P1 is exact upwind of the
+      window; its chained intermediates provide the window's upwind-edge
+      boundary pad lines (per segment, through _slab_gauss_seidel's
+      tuple-pad form).
+    * the windowed L-level Gauss-Seidel stack — identical math on
+      cropped planes (window aligned to block granularity, so all
+      parent/child factor-2 relations hold).
+    * P2 — the plain level-0 full-plane pass re-evaluated with the
+      window's coupled intermediates merged into its side inputs: cells
+      downwind of the window see the fine-coupled radiation, the
+      reference's coarse-reads-fine contract
+      (transportRoutinesModule.f90:455-558).  Merged outputs keep
+      windowed values inside, P2 values outside.
+
+    window = (W static int, (wy0, wz0) traced int32 base-cell starts,
+    multiples of the block edge, clamped to [0, n - W]).
+    """
+    W, w0 = window
+    w0 = jnp.asarray(w0, jnp.int32)
+    wy0, wz0 = w0[0], w0[1]
+    z0 = jnp.asarray(0, jnp.int32)        # dynamic_slice wants one dtype
+    L = 1 + len(lv_rots)
+    n = k0_rot.shape[0]
+    ny = nz = n
+    dtype = k0_rot.dtype
+    D = params[0]["len_xy"].shape[0]
+    uvb = jnp.asarray(uvb, dtype)
+
+    def bcast(shape):
+        return jnp.broadcast_to(uvb[None, :, None, None],
+                                shape).astype(dtype)
+
+    uvb_j_full = bcast((D, 3, 1, nz))
+    uvb_k_full = bcast((D, 3, ny, 1))
+    uvb_cell0 = bcast((D, 3, ny, nz))
+    uvb_cell_w = [bcast((D, 3, W * 2 ** l, W * 2 ** l)) for l in range(L)]
+    uvb_j_w = [bcast((D, 3, 1, W * 2 ** l)) for l in range(L)]
+    uvb_k_w = [bcast((D, 3, W * 2 ** l, 1)) for l in range(L)]
+
+    nbs = [lv["cover"].shape[0] for lv in lv_rots]
+    bes = [lv["cover"].shape[-1] for lv in lv_rots]
+
+    any_ref = jnp.any(refined0_rot, axis=(1, 2))
+    cov_x = any_ref | jnp.concatenate([any_ref[:1] & False, any_ref[:-1]])
+
+    xs = {"i": jnp.arange(n), "k0": k0_rot[:, None],
+          "r0": refined0_rot[:, None], "has_fine": cov_x}
+    for l in range(L):
+        m = 2 ** l
+        for key, v in params[l].items():
+            xs[f"p{l}_{key}"] = jnp.asarray(v).reshape(D, n, m).swapaxes(0,
+                                                                         1)
+
+    ds = jax.lax.dynamic_slice
+    dus = jax.lax.dynamic_update_slice
+
+    def win_slots(ell, i, s):
+        """Window tile slice of level-ell slab slots: WT^2 tiles instead
+        of T^2 (window starts are block-edge multiples, so tile indices
+        divide exactly)."""
+        WT = W * 2 ** ell // bes[ell - 1]
+        wty = wy0 * 2 ** ell // bes[ell - 1]
+        wtz = wz0 * 2 ** ell // bes[ell - 1]
+        sp, ox = _slab_slots(lv_rots[ell - 1]["slot"], i * 2 ** ell + s,
+                             bes[ell - 1], nbs[ell - 1])
+        return ds(sp, (wty, wtz), (WT, WT)), ox
+
+    def gather_levels_win(i):
+        out = []
+        for ell in range(1, L):
+            kap, cov, ref = [], [], []
+            for s in range(2 ** ell):
+                sp, ox = win_slots(ell, i, s)
+                kap.append(_gather_plane(lv_rots[ell - 1]["kappa"], sp,
+                                         ox))
+                cov.append(_gather_plane(lv_rots[ell - 1]["cover"], sp,
+                                         ox))
+                ref.append(_gather_plane(lv_rots[ell - 1]["refined"], sp,
+                                         ox))
+            out.append({"kappa": jnp.stack(kap), "cover": jnp.stack(cov),
+                        "refined": jnp.stack(ref)})
+        return out
+
+    def body(carry, x):
+        planes_carry, j_flats = carry
+        i = x["i"]
+
+        def params_of(l):
+            return {key[len(f"p{l}_"):]: x[key] for key in x
+                    if key.startswith(f"p{l}_")}
+
+        p0 = params_of(0)
+        x0_full = dict({"kappa": x["k0"],
+                        "cover": jnp.ones((1, ny, nz), bool),
+                        "refined": x["r0"]}, **p0)
+
+        def j_of(est_ls, cov_ls, ref_ls):
+            leaf = cov_ls & ~ref_ls
+            return weight * jnp.sum(
+                jnp.where(leaf[None, None], est_ls["j_slab"], 0.0),
+                axis=0)
+
+        # P1 (see docstring): plain level-0 pass, intermediates kept
+        est_p1, cov_p1, ref_p1 = _slab_gauss_seidel(
+            planes_carry[:1], [x0_full], 1, ny, nz, D, [uvb_j_full],
+            [uvb_k_full], cell_size, 1, dtype, level0_segs=True)
+
+        def full(_):
+            k0_w = ds(x["k0"], (z0, z0, wy0, wz0), (1, 3, W, W))
+            r0_w = ds(x["r0"], (z0, wy0, wz0), (1, W, W))
+            x0_w = dict({"kappa": k0_w,
+                         "cover": jnp.ones((1, W, W), bool),
+                         "refined": r0_w}, **p0)
+            fine = gather_levels_win(i)
+            xl = [x0_w]
+            for ell in range(1, L):
+                entry = dict(fine[ell - 1])
+                if ell == L - 1:
+                    entry["refined"] = jnp.zeros_like(entry["cover"])
+                entry.update(params_of(ell))
+                xl.append(entry)
+
+            t0, cb0, rb0 = planes_carry[0]
+            carry_w = ((ds(t0, (z0, z0, wy0, wz0), (D, 3, W, W)),
+                        ds(cb0, (wy0, wz0), (W, W)),
+                        ds(rb0, (wy0, wz0), (W, W))),) \
+                + tuple(planes_carry[1:])
+
+            def pad_j(segplane):
+                cat = jnp.concatenate([uvb_j_full, segplane], axis=-2)
+                return ds(cat, (z0, z0, wy0, wz0), (D, 3, 1, W))
+
+            def pad_k(segplane):
+                cat = jnp.concatenate([uvb_k_full, segplane], axis=-1)
+                return ds(cat, (z0, z0, wy0, wz0), (D, 3, W, 1))
+
+            s1, s2 = est_p1[0][0]["seg1"], est_p1[0][0]["seg2"]
+            uvb_j_lvls = [(pad_j(s1), pad_j(s2))] + uvb_j_w[1:]
+            uvb_k_lvls = [(pad_k(s1), pad_k(s2))] + uvb_k_w[1:]
+
+            est, cov, ref = _slab_gauss_seidel(
+                carry_w, xl, L, W, W, D, uvb_j_lvls, uvb_k_lvls,
+                cell_size, n_coupling_iters, dtype, level0_segs=True)
+
+            # P2 (see docstring): full-plane level-0 with window-merged
+            # side inputs
+            ws1, ws2 = est[0][0]["seg1"], est[0][0]["seg2"]
+
+            def side_j2(xp, seg):
+                xm = dus(xp, (ws1, ws2)[seg], (z0, z0, wy0, wz0))
+                return _shift_j(xm, uvb_j_full)
+
+            def side_k2(xp, seg):
+                xm = dus(xp, (ws1, ws2)[seg], (z0, z0, wy0, wz0))
+                return _shift_k(xm, uvb_k_full)
+
+            sp0 = {}
+            for key in ("len_xy", "len_xz", "len_yz", "x0", "y0",
+                        "xz_x0", "xz_z0", "yz_y0", "yz_z0"):
+                sp0[key] = x0_full[key][:, 0].astype(dtype)
+            for key in ("chain2", "chain3", "n_active",
+                        "top_xy", "top_xz", "top_yz"):
+                sp0[key] = x0_full[key][:, 0]
+            est_p2 = _segment_outputs(t0, x["k0"][0][None], sp0,
+                                      cell_size, side_j2, side_k2)
+
+            leaf0 = ~x["r0"][0]
+            j0_full = weight * jnp.sum(
+                jnp.where(leaf0[None, None], est_p2["j_slab"], 0.0),
+                axis=0)
+            j0_win = j_of(est[0][0], cov[0][0], ref[0][0])
+            j0 = dus(j0_full, j0_win, (z0, wy0, wz0))
+            top0 = dus(est_p2["top"], est[0][0]["top"], (z0, z0, wy0, wz0))
+
+            new_flats = []
+            for ell in range(1, L):
+                jf = j_flats[ell - 1]
+                for s in range(2 ** ell):
+                    js = j_of(est[ell][s], cov[ell][s], ref[ell][s])
+                    sp, ox = win_slots(ell, i, s)
+                    jf = _scatter_plane_add(jf, sp, ox, js)
+                new_flats.append(jf)
+
+            carry_next = [(top0, jnp.ones((ny, nz), bool), x["r0"][0])]
+            for l in range(1, L):
+                last = 2 ** l - 1
+                carry_next.append((est[l][last]["top"], cov[l][last],
+                                   ref[l][last]))
+            return tuple(carry_next), tuple(new_flats), j0
+
+        def skip(_):
+            j0 = j_of(est_p1[0][0], cov_p1[0][0], ref_p1[0][0])
+            carry_next = [(est_p1[0][0]["top"], cov_p1[0][0],
+                           ref_p1[0][0])]
+            t = ds(est_p1[0][0]["top"], (z0, z0, wy0, wz0), (D, 3, W, W))
+            for l in range(1, L):
+                t = _prolong_plane(t)
+                Wl = W * 2 ** l
+                carry_next.append((t, jnp.zeros((Wl, Wl), bool),
+                                   jnp.zeros((Wl, Wl), bool)))
+            return tuple(carry_next), j_flats, j0
+
+        carry_next, new_flats, j0 = jax.lax.cond(x["has_fine"], full,
+                                                 skip, None)
+        return (carry_next, new_flats), j0
+
+    carry0 = ((uvb_cell0, jnp.ones((ny, nz), bool),
+               jnp.zeros((ny, nz), bool)),) + tuple(
+        (uvb_cell_w[l], jnp.ones((W * 2 ** l,) * 2, bool),
+         jnp.zeros((W * 2 ** l,) * 2, bool))
+        for l in range(1, L))
+    j_flats0 = tuple(
+        jnp.zeros((3, nbs[l], bes[l], bes[l], bes[l]), dtype)
+        for l in range(L - 1))
+    (_, j_flats), j0 = jax.lax.scan(body, (carry0, j_flats0), xs)
+    return j0, list(j_flats)
+
+
 def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
                          plan: MLSweepPlan, uvb, cell_size,
                          n_coupling_iters: int = 4,
                          max_dirs_per_launch: int = 4,
-                         eager_zones: bool = False):
+                         eager_zones: bool = False,
+                         window="auto"):
     """Full block-sparse L-level sweep.
 
     k0: (3, n, n, n) base opacity; lv_kappas[l-1]: (3, nb, be, be, be)
@@ -254,6 +496,11 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
     deadline, which kills the worker ("TPU worker crashed") — bounded
     dispatches keep each call under it (SparseMLModel.make_step's
     split_compile turns this on together with per-piece compiles).
+
+    window: "auto" computes the static refinement window for the
+    clustered-refinement fast path (compute_window; falls back to the
+    full-plane stack when refinement spans the grid); None disables it;
+    or pass a precomputed (W, {izone: starts}).
     """
     L = state.n_levels
     k0_l = jnp.moveaxis(k0, 0, -1)                          # (n,n,n,3)
@@ -261,13 +508,27 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
     j0_acc = jnp.zeros_like(k0_l)
     jb_acc = [jnp.zeros_like(k) for k in lv_kappas]
 
+    if isinstance(window, str) and window == "auto":
+        # trace-time fallback: the window is a host-side static — callers
+        # jitting this pass a precomputed window (SparseMLModel resolves
+        # it from the concrete state before tracing)
+        window = (None if isinstance(state.refined0, jax.core.Tracer)
+                  else compute_window(state))
+    win_w = window[0] if window is not None else None
+
     groups = build_chunks(plan, max_dirs_per_launch)
     body = functools.partial(_chunk_body, L=L, weight=plan.weight,
-                             n_coupling_iters=n_coupling_iters)
+                             n_coupling_iters=n_coupling_iters,
+                             window_w=win_w)
     ctx = build_ctx(k0, lv_kappas, state)
 
+    def starts_of(z):
+        if window is None:
+            return jnp.zeros(2, jnp.int32)
+        return jnp.asarray(window[1][z.izone], jnp.int32)
+
     if eager_zones:
-        one = _get_eager_runner(L, plan.weight, n_coupling_iters)
+        one = _get_eager_runner(L, plan.weight, n_coupling_iters, win_w)
         for zones in groups.values():
             for z in zones:
                 j0_acc, jb_acc = one(
@@ -275,7 +536,8 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
                     (jnp.asarray(z.izone - 1, jnp.int32),
                      tuple({key: jnp.asarray(v)
                             for key, v in z.params[l].items()}
-                           for l in range(L))),
+                           for l in range(L)),
+                     starts_of(z)),
                     ctx, uvb, cell_size)
                 jb_acc = list(jb_acc)
                 # one dispatch in flight at a time: queueing several
@@ -291,13 +553,60 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
                                             for z in zones]))
                  for key in zones[0].params[l]}
                 for l in range(L))
+            starts = jnp.stack([starts_of(z) for z in zones])
             (j0_acc, jb_acc), _ = jax.lax.scan(
                 lambda carry, x: (body(carry, x, ctx, uvb, cell_size),
                                   None),
-                (j0_acc, tuple(jb_acc)), (izones, stacked))
+                (j0_acc, tuple(jb_acc)), (izones, stacked, starts))
             jb_acc = list(jb_acc)
 
     return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)
+
+
+def compute_window(state: SparseMLState, margin: int = 2):
+    """Static refinement window for the windowed sparse sweep: the
+    smallest be-aligned W x W cross-section (per octant rotation)
+    containing every covered fine cell, or None when refinement spans
+    most of the grid (the unwindowed path is then cheaper).
+
+    Returns (W, {izone: (wy0, wz0)}) — W static; starts per zone from the
+    rotated bounding box of refined0 (properly nested maps mean deeper
+    coverage stays inside it), tile-aligned so block tiles divide exactly
+    and with >= `margin` uncovered base cells around the coverage (the
+    window-edge rows the stack may compute garbage into are never
+    covered leaves)."""
+    r0 = np.asarray(jax.device_get(state.refined0)).astype(bool)
+    if not r0.any() or state.n_levels < 2:
+        return None
+    be = state.be
+    half = be // 2
+    n = state.n
+    idx = np.argwhere(r0)
+    lo = idx.min(0) // half * half                    # tile-aligned:
+    hi = -(-(idx.max(0) + 1) // half) * half          # cover can't leak
+    ext = int((hi - lo).max())
+    W = ext + 2 * margin + be
+    W = min(n, -(-W // be) * be)
+    if W >= n:
+        return None
+    from ..geometry.octants import _ZONE_TABLE
+    starts = {}
+    for iz in range(1, 25):
+        q, flips = _ZONE_TABLE[iz]
+        inv = {q[a]: a for a in range(3)}
+        st = []
+        for t in (1, 2):
+            a = inv[t]
+            if a in flips:
+                lo_t, hi_t = n - int(hi[a]), n - int(lo[a])
+            else:
+                lo_t, hi_t = int(lo[a]), int(hi[a])
+            s = (lo_t - margin) // be * be
+            s = max(0, min(s, n - W))
+            assert s <= lo_t and s + W >= hi_t
+            st.append(s)
+        starts[iz] = (st[0], st[1])
+    return W, starts
 
 
 def build_chunks(plan: MLSweepPlan, max_dirs_per_launch: int
@@ -335,16 +644,17 @@ def build_ctx(k0, lv_kappas, state: SparseMLState):
 
 
 def _chunk_body(carry, x, ctx, uvb, cell_size, *, L, weight,
-                n_coupling_iters):
+                n_coupling_iters, window_w=None):
     """One direction chunk: rotate in, sweep, rotate out, accumulate."""
     j0u, jbu = _chunk_contrib(x, ctx, uvb, cell_size, L=L, weight=weight,
-                              n_coupling_iters=n_coupling_iters)
+                              n_coupling_iters=n_coupling_iters,
+                              window_w=window_w)
     j0_a, jb_a = carry
     return j0_a + j0u, tuple(a + b for a, b in zip(jb_a, jbu))
 
 
 def _chunk_contrib(x, ctx, uvb, cell_size, *, L, weight,
-                   n_coupling_iters):
+                   n_coupling_iters, window_w=None):
     """One direction chunk's Jmean contribution: rotate in (lax.switch
     over the 24 octant transforms), sweep, rotate out.  Returns
     (j0 (n,n,n,3), tuple of per-level (3, nb, be, be, be) J blocks) —
@@ -377,11 +687,16 @@ def _chunk_contrib(x, ctx, uvb, cell_size, *, L, weight,
             return j0u, jbu
         return f
 
-    iz, pars = x
+    if window_w is not None:
+        iz, pars, w0 = x
+        window = (window_w, w0)
+    else:
+        iz, pars = x[0], x[1]
+        window = None
     k0r, r0r, lvr = jax.lax.switch(iz, [rot_in(z) for z in range(1, 25)],
                                    None)
     j0r, jfl = sweep_zone_sparse(k0r, r0r, list(lvr), pars, uvb, cell_size,
-                                 weight, n_coupling_iters)
+                                 weight, n_coupling_iters, window=window)
     jbs = tuple(jf.reshape((3,) + lv_data[e]["cover"].shape)
                 for e, jf in enumerate(jfl))
     return jax.lax.switch(iz, [rot_out(z) for z in range(1, 25)],
@@ -391,14 +706,16 @@ def _chunk_contrib(x, ctx, uvb, cell_size, *, L, weight,
 _EAGER_RUNNER_CACHE: dict = {}
 
 
-def _get_eager_runner(L: int, weight: float, n_coupling_iters: int):
+def _get_eager_runner(L: int, weight: float, n_coupling_iters: int,
+                      window_w=None):
     """Persistent jitted per-chunk runner (cached so production loops
     reuse the compiled executable across iterations; jit itself caches
     per array-shape signature)."""
-    key = (L, float(weight), n_coupling_iters)
+    key = (L, float(weight), n_coupling_iters, window_w)
     fn = _EAGER_RUNNER_CACHE.get(key)
     if fn is None:
         fn = jax.jit(functools.partial(_chunk_body, L=L, weight=weight,
-                                       n_coupling_iters=n_coupling_iters))
+                                       n_coupling_iters=n_coupling_iters,
+                                       window_w=window_w))
         _EAGER_RUNNER_CACHE[key] = fn
     return fn

@@ -260,14 +260,14 @@ _SPARSE_ZONES_CACHE: dict = {}
 
 
 def _get_sparse_zones_runner(mesh: Mesh, L: int, weight: float,
-                             n_coupling_iters: int):
+                             n_coupling_iters: int, window_w=None):
     """Jitted shard_map runner for one group of direction chunks: each
     device scans its local chunk slice (scaled so padding chunks drop
     out), then the Jmean contributions psum-reduce to replicated
     accumulators.  Cached per (mesh, L, weight, depth); jit itself caches
     per chunk-shape signature, so production loops reuse the executable
     across iterations."""
-    key = (mesh, L, float(weight), n_coupling_iters)
+    key = (mesh, L, float(weight), n_coupling_iters, window_w)
     fn = _SPARSE_ZONES_CACHE.get(key)
     if fn is not None:
         return fn
@@ -276,36 +276,40 @@ def _get_sparse_zones_runner(mesh: Mesh, L: int, weight: float,
     chunk_axis = axes[0] if len(axes) == 1 else axes
     chunk_spec = P(chunk_axis)
 
-    def worker(izones, stacked, scales, ctx, uvb, cell_size, j0_in, jb_in):
+    def worker(izones, stacked, scales, starts, ctx, uvb, cell_size,
+               j0_in, jb_in):
         def body(carry, x):
-            iz, pars, sc = x
+            iz, pars, sc, w0 = x
             j0u, jbu = sweep_sparse._chunk_contrib(
-                (iz, pars), ctx, uvb, cell_size, L=L, weight=weight,
-                n_coupling_iters=n_coupling_iters)
+                (iz, pars, w0), ctx, uvb, cell_size, L=L, weight=weight,
+                n_coupling_iters=n_coupling_iters, window_w=window_w)
             j0_a, jb_a = carry
             return (j0_a + sc * j0u,
                     tuple(a + sc * b for a, b in zip(jb_a, jbu))), None
 
         zeros = (jnp.zeros_like(j0_in),
                  tuple(jnp.zeros_like(b) for b in jb_in))
-        (j0, jbs), _ = jax.lax.scan(body, zeros, (izones, stacked, scales))
+        (j0, jbs), _ = jax.lax.scan(body, zeros,
+                                    (izones, stacked, scales, starts))
         j0 = jax.lax.psum(j0, axes)
         jbs = tuple(jax.lax.psum(b, axes) for b in jbs)
         return j0_in + j0, tuple(a + b for a, b in zip(jb_in, jbs))
 
-    def specs(izones, stacked, scales, ctx, uvb, cell_size, j0, jb):
+    def specs(izones, stacked, scales, starts, ctx, uvb, cell_size, j0,
+              jb):
         tm = jax.tree_util.tree_map
         return (chunk_spec, tm(lambda _: chunk_spec, stacked), chunk_spec,
-                tm(lambda _: P(), ctx), P(), P(), P(),
+                chunk_spec, tm(lambda _: P(), ctx), P(), P(), P(),
                 tm(lambda _: P(), jb))
 
-    def make(izones, stacked, scales, ctx, uvb, cell_size, j0, jb):
-        in_specs = specs(izones, stacked, scales, ctx, uvb, cell_size,
-                         j0, jb)
+    def make(izones, stacked, scales, starts, ctx, uvb, cell_size, j0, jb):
+        in_specs = specs(izones, stacked, scales, starts, ctx, uvb,
+                         cell_size, j0, jb)
         out_specs = (P(), jax.tree_util.tree_map(lambda _: P(), jb))
         mapped = jax.shard_map(worker, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False)
-        return mapped(izones, stacked, scales, ctx, uvb, cell_size, j0, jb)
+        return mapped(izones, stacked, scales, starts, ctx, uvb,
+                      cell_size, j0, jb)
 
     fn = _SPARSE_ZONES_CACHE[key] = jax.jit(make)
     return fn
@@ -314,7 +318,8 @@ def _get_sparse_zones_runner(mesh: Mesh, L: int, weight: float,
 def diffuse_sweep_sparse_zones(k0, lv_kappas, state, plan, uvb, cell_size,
                                mesh: Mesh, n_coupling_iters: int = 4,
                                max_dirs_per_launch: int = 4,
-                               eager_rounds: bool = False):
+                               eager_rounds: bool = False,
+                               window="auto"):
     """Angle-decomposed block-sparse L-level sweep over the device mesh.
 
     The distributed form of core.sweep_sparse.diffuse_sweep_sparse: the
@@ -347,8 +352,18 @@ def diffuse_sweep_sparse_zones(k0, lv_kappas, state, plan, uvb, cell_size,
 
     ctx = sweep_sparse.build_ctx(k0, lv_kappas, state)
     groups = sweep_sparse.build_chunks(plan, max_dirs_per_launch)
+    if isinstance(window, str) and window == "auto":
+        window = (None
+                  if isinstance(state.refined0, jax.core.Tracer)
+                  else sweep_sparse.compute_window(state))
+    win_w = window[0] if window is not None else None
     runner = _get_sparse_zones_runner(mesh, L, plan.weight,
-                                      n_coupling_iters)
+                                      n_coupling_iters, win_w)
+
+    def starts_of(z):
+        if window is None:
+            return np.zeros(2, np.int32)
+        return np.asarray(window[1][z.izone], np.int32)
 
     j0_acc = jnp.zeros(k0.shape[1:] + (3,), dtype)          # (n,n,n,3)
     jb_acc = tuple(jnp.zeros_like(k) for k in lv_kappas)
@@ -363,6 +378,7 @@ def diffuse_sweep_sparse_zones(k0, lv_kappas, state, plan, uvb, cell_size,
             {key: jnp.asarray(np.stack([z.params[l][key] for z in zones]))
              for key in zones[0].params[l]}
             for l in range(L))
+        starts = jnp.asarray(np.stack([starts_of(z) for z in zones]))
         if eager_rounds:
             rounds = len(zones) // n_dev
             for r in range(rounds):
@@ -370,14 +386,15 @@ def diffuse_sweep_sparse_zones(k0, lv_kappas, state, plan, uvb, cell_size,
                 j0_acc, jb_acc = runner(
                     izones[sl],
                     jax.tree_util.tree_map(lambda x: x[sl], stacked),
-                    jnp.asarray(scales[sl]), ctx, uvb, cell_size,
-                    j0_acc, jb_acc)
+                    jnp.asarray(scales[sl]), starts[sl], ctx, uvb,
+                    cell_size, j0_acc, jb_acc)
                 # one dispatch in flight at a time (see
                 # sweep_sparse.diffuse_sweep_sparse's eager_zones)
                 float(jnp.max(j0_acc[0, 0, 0]))
         else:
             j0_acc, jb_acc = runner(izones, stacked, jnp.asarray(scales),
-                                    ctx, uvb, cell_size, j0_acc, jb_acc)
+                                    starts, ctx, uvb, cell_size,
+                                    j0_acc, jb_acc)
 
     return jnp.moveaxis(j0_acc, -1, 0), list(jb_acc)
 

@@ -834,3 +834,119 @@ class TestCouplingDepthProduction:
             kappas, list(ml.refined), plan1,
             jnp.asarray(rt.uvb, kappas[0].dtype), rt.geom.cell_size, d_ml)
         assert res < 1e-8
+
+
+class TestWindowedSweep:
+    """The windowed sparse sweep (sweep_sparse._sweep_zone_sparse_windowed)
+    must match the full-plane stack EXACTLY: P1 provides the window's
+    upwind boundary lines, P2 re-propagates the coupled window outputs
+    downwind, and the window covers all refinement plus an uncovered
+    margin."""
+
+    def _big_clustered(self, n=32, L=3, seed=3, off=(0.28, 0.55, 0.40)):
+        rng = np.random.default_rng(seed)
+        refined = []
+        m = n
+        c = np.array(off)
+        for _ in range(L - 1):
+            r = np.zeros((m,) * 3, bool)
+            cc = (c * m).astype(int)
+            r[cc[0] - 2:cc[0] + 2, cc[1] - 2:cc[1] + 2,
+              cc[2] - 2:cc[2] + 2] = rng.random((4, 4, 4)) < 0.7
+            refined.append(r)
+            m *= 2
+        refined = amr.enforce_balance(refined)
+        cov = np.ones((n,) * 3, bool)
+        for l in range(L - 1):
+            refined[l] &= cov
+            cov = np.repeat(np.repeat(np.repeat(refined[l], 2, 0), 2, 1),
+                            2, 2)
+        ml = amr.make_multilevel_state(
+            _rand_state(rng, n), refined,
+            [_rand_state(rng, n * 2 ** (l + 1)) for l in range(L - 1)])
+        return amr.sync_restriction_multi(ml), refined
+
+    def test_window_covers_refinement(self):
+        ml, refined = self._big_clustered()
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        win = sweep_sparse.compute_window(sp)
+        assert win is not None
+        W, starts = win
+        assert W % 8 == 0 and W < 32
+        assert len(starts) == 24
+        idx = np.argwhere(np.asarray(sp.refined0))
+        from radiativetransfer_tpu.geometry.octants import _ZONE_TABLE
+        for iz, (wy0, wz0) in starts.items():
+            q, flips = _ZONE_TABLE[iz]
+            inv = {q[a]: a for a in range(3)}
+            for t, s in ((1, wy0), (2, wz0)):
+                a = inv[t]
+                lo, hi = idx[:, a].min(), idx[:, a].max() + 1
+                if a in flips:
+                    lo, hi = 32 - hi, 32 - lo
+                assert s <= lo and s + W >= hi, (iz, t, s, W, lo, hi)
+
+    def test_windowed_matches_full_plane(self):
+        n, L = 32, 3
+        ml, refined = self._big_clustered(n, L)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+        rng = np.random.default_rng(21)
+        kappas = [jnp.asarray(
+            rng.lognormal(0, 0.7, (3,) + (n * 2 ** l,) * 3) / 3e21)
+            for l in range(L)]
+        plan = sweep_multilevel.build_ml_sweep_plan(1, n, L)
+        lv_k = [amr_sparse.blockify_like(sp.levels[ell - 1],
+                                         np.asarray(kappas[ell]))
+                for ell in range(1, L)]
+        j0_ref, jbs_ref = sweep_sparse.diffuse_sweep_sparse(
+            kappas[0], lv_k, sp, plan, UVB, CELL, n_coupling_iters=4,
+            window=None)
+        win = sweep_sparse.compute_window(sp)
+        assert win is not None and win[0] < n
+        j0_w, jbs_w = sweep_sparse.diffuse_sweep_sparse(
+            kappas[0], lv_k, sp, plan, UVB, CELL, n_coupling_iters=4,
+            window=win)
+        np.testing.assert_allclose(np.asarray(j0_w), np.asarray(j0_ref),
+                                   rtol=1e-13, atol=1e-300)
+        for ell, (a, b) in enumerate(zip(jbs_w, jbs_ref)):
+            lv = sp.levels[ell]
+            cov = np.asarray(lv.cover)
+            np.testing.assert_allclose(
+                np.asarray(a)[:, cov], np.asarray(b)[:, cov], rtol=1e-13,
+                atol=1e-300, err_msg=f"level {ell + 1}")
+
+    def test_windowed_step_matches_dense_ml(self):
+        """End-to-end: the windowed sparse UVB step equals the dense
+        multilevel step (the strongest oracle: a completely different
+        storage and stack shape)."""
+        n, L = 32, 3
+        cfg = RunConfig(mode=MODE_UVB_TRANSFER_ONLY, current_redshift=6.55,
+                        n_angular_level=1, reionization_model=10, grid="t")
+        geom = GridGeometry(n, n, n, 400.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        ml, refined = self._big_clustered(n, L, seed=31)
+        ml = amr.MultiLevelState(
+            levels=tuple(rt.initialize_equilibrium(lv)
+                         for lv in ml.levels),
+            refined=ml.refined)
+        ml = amr.sync_restriction_multi(ml)
+        sp = amr_sparse.sparse_from_dense(ml, be=8)
+
+        dense = step_amr.MultiLevelModel.setup(rt, L)
+        out_d = dense.make_step()(ml)
+
+        sparse = step_amr.SparseMLModel.setup(rt, L)
+        out_s = sparse.make_step()(sp)
+        assert sparse._window is not None      # window actually engaged
+        np.testing.assert_allclose(np.asarray(out_s.base.HI),
+                                   np.asarray(out_d.levels[0].HI),
+                                   rtol=1e-10)
+        for ell in range(1, L):
+            lv = out_s.levels[ell - 1]
+            m = amr_sparse.unblockify_like(lv, np.asarray(lv.cover),
+                                           fill=False)
+            got = amr_sparse.unblockify_like(lv,
+                                             np.asarray(lv.fields.HI))
+            np.testing.assert_allclose(
+                got[m], np.asarray(out_d.levels[ell].HI)[m], rtol=1e-10,
+                err_msg=f"level {ell}")
