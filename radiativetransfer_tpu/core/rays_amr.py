@@ -233,9 +233,21 @@ def _march_phase_amr(state: _RayState, fields, geom, rate_ctx,
         # ~1e-6 of a fine cell so a position sitting exactly on a face
         # resolves to the cell the ray is entering — otherwise a ray born on
         # a face flip-flops between neighbors on zero-length segments.
-        nudge = jnp.sign(d_safe) * (1.0e-6 / n2)
-        cf_from_pos = jnp.clip(((pos_new + nudge) * n2).astype(cf.dtype),
-                               0, n2 - 1)
+        # direction-aware relocalization: a position exactly on a face
+        # belongs to the cell the ray is ENTERING.  The tolerance must
+        # exceed the position ulp at the grid scale (f32: ulp(pos*n2)
+        # reaches 2^-13 cells at 1024^3 effective resolution) — a
+        # sub-ulp nudge lets corner hits desync pos/cell into a
+        # zero-step period-2 limit cycle: the non-crossing axis
+        # relocalizes to the wrong side of its face each step while the
+        # crossing axis undoes it, freezing the ray alive forever (the
+        # round-5 production zombie rays that ran the final phase to its
+        # 12k-step cap for 6 lanes).  f64 keeps the legacy fine
+        # tolerance (parity mode).
+        tol = 2.0 ** -10 if pos_new.dtype.itemsize < 8 else 1.0e-6
+        cf_from_pos = jnp.clip(
+            (pos_new * n2 + jnp.sign(d_safe) * tol).astype(cf.dtype),
+            0, n2 - 1)
         cell_new = jnp.where(on_axis, new_axis_idx[:, None], cf_from_pos)
         cell_new = jnp.where(cut[:, None], state.cell, cell_new)
 

@@ -303,9 +303,21 @@ def _march_phase_ml(state, fields, geom, n_levels, rate_ctx, diag,
         new_axis_idx = jnp.where(
             jnp.take_along_axis(pos_dir, exit_axis[:, None], axis=1)[:, 0],
             face_f, face_f - 1).astype(cf.dtype)
-        nudge = jnp.sign(d_safe) * (1.0e-6 / nF)
-        cf_from_pos = jnp.clip(((pos_new + nudge) * nF).astype(cf.dtype),
-                               0, nF - 1)
+        # direction-aware relocalization: a position exactly on a face
+        # belongs to the cell the ray is ENTERING.  The tolerance must
+        # exceed the position ulp at the grid scale (f32: ulp(pos*nF)
+        # reaches 2^-13 cells at 1024^3 effective resolution) — a
+        # sub-ulp nudge lets corner hits desync pos/cell into a
+        # zero-step period-2 limit cycle: the non-crossing axis
+        # relocalizes to the wrong side of its face each step while the
+        # crossing axis undoes it, freezing the ray alive forever (the
+        # round-5 production zombie rays that ran the final phase to its
+        # 12k-step cap for 6 lanes).  f64 keeps the legacy fine
+        # tolerance (parity mode).
+        tol = 2.0 ** -10 if pos_new.dtype.itemsize < 8 else 1.0e-6
+        cf_from_pos = jnp.clip(
+            (pos_new * nF + jnp.sign(d_safe) * tol).astype(cf.dtype),
+            0, nF - 1)
         cell_new = jnp.where(on_axis, new_axis_idx[:, None], cf_from_pos)
         cell_new = jnp.where(cut[:, None], state.cell, cell_new)
 
