@@ -107,11 +107,12 @@ def main(argv=None):
                          "angle decomposition + psum, rdma = in-kernel "
                          "Pallas remote copies)")
     ap.add_argument("--sweep-logmean", default="",
-                    choices=("", "exact", "clamped"),
-                    help="Pallas logmean form: exact (default; reference "
-                         "two-branch) or clamped (branch-free, +6.6%% faster "
-                         "sweep, emissivity bias <= 1.75e-4 in cells with "
-                         "tau < 3.5e-4)")
+                    choices=("", "auto", "exact", "clamped"),
+                    help="Pallas logmean form: auto (default: clamped in "
+                         "f32, exact in f64), exact (reference two-branch), "
+                         "or clamped (branch-free, +6.6%% faster sweep; "
+                         "production A/B deltas <= 8e-7 on the neutral "
+                         "fraction, BASELINE.md r5)")
     ap.add_argument("--tracer-compact", action="store_true",
                     help="single-device tracer: host-driven final-phase "
                          "dead-lane compaction (exact up to deposit order; "
@@ -121,7 +122,8 @@ def main(argv=None):
                     choices=("", "sources", "domain"),
                     help="distributed tracer: sources = shard sources + "
                          "all-gather fields; domain = shard fields + "
-                         "migrate rays (grid can exceed one device's HBM)")
+                         "migrate rays (grid can exceed one device's HBM; "
+                         "uniform, two-level AMR, and L-level multilevel)")
     ap.add_argument("--mesh-shape", default="",
                     help="device mesh for distributed runs, e.g. '8' (1-D) "
                          "or '2,4' (2-D over the last two grid axes); "

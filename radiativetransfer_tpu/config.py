@@ -59,7 +59,7 @@ class RunConfig:
     # Pallas logmean form: "exact" (reference two-branch, emi = 1 exactly
     # in transparent cells) or "clamped" (branch-free min-clamp, +6.6%
     # faster sweep, bounded emissivity bias <= 1.75e-4 below tau = 3.5e-4)
-    sweep_logmean: str = "exact"
+    sweep_logmean: str = "auto"   # auto: clamped in f32 (A/B r5), exact in f64
     # single-device tracer: host-driven final-phase dead-lane compaction
     # (rays.trace_point_sources_compact).  Exact up to deposit order; a
     # win on locally-attached TPU, a loss through a high-latency tunnel

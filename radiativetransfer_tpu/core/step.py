@@ -330,9 +330,16 @@ class RTModel:
             raise ValueError(f"unknown sweep_strategy {strategy!r}")
         if cfg.use_pallas_sweep and jax.devices()[0].platform not in ("cpu",):
             from . import sweep_pallas
+            lm = getattr(cfg, "sweep_logmean", "auto")
+            if lm == "auto":
+                # production A/B (BASELINE.md r5, scripts/exp_logmean_ab):
+                # per-iteration neutral-fraction deltas <= 8e-7 over 8
+                # 128^3 x 192-dir iterations — the branch-free clamped
+                # form's +6.6% is free in f32; f64 keeps the reference's
+                # exact two-branch logmean (parity mode)
+                lm = ("clamped" if kappa.dtype == jnp.float32 else "exact")
             return sweep_pallas.diffuse_sweep_pallas(
-                kappa, self.sweep_plan, uvb, cell,
-                logmean=getattr(cfg, "sweep_logmean", "exact"))
+                kappa, self.sweep_plan, uvb, cell, logmean=lm)
         return sweep.diffuse_sweep(kappa, self.sweep_plan, uvb, cell)
 
     def _sweep_and_chemistry(self, state: FieldState,

@@ -234,7 +234,20 @@ class MultiLevelModel:
 
     def _traced(self, state: amr.MultiLevelState, stellar, mesh=None):
         rt = self.rt
-        if mesh is not None:
+        if mesh is not None and rt.config.tracer_strategy == "domain":
+            # deep-grid member of the fields-stay-sharded family
+            # (VERDICT r4 weak-7): level fields sharded, rays migrate
+            if "quad_A" not in stellar.tables:
+                raise ValueError(
+                    "tracer_strategy='domain' requires quadrature tables "
+                    "(quad_A/quad_W)")
+            from ..parallel import rays_domain
+            rfs, diag = rays_domain.trace_point_sources_domain_ml(
+                state, rt.geom, stellar.sources, stellar.tables, mesh,
+                dust_approximation=stellar.dust_approximation,
+                max_pixel_level=stellar.max_pixel_level,
+                dtype=state.levels[0].rho.dtype)
+        elif mesh is not None:
             from ..parallel import rays_dist
             rfs, diag = rays_dist.trace_point_sources_ml_dist(
                 state, rt.geom, stellar.sources, stellar.tables, mesh,

@@ -195,7 +195,8 @@ def sparse_zones_accounting():
         print(f"  {p} chips: {psums} psums ({wire * 1e3:.1f} ms wire) "
               f"per sweep, chunk load balance {100 * bal:.0f}% "
               f"({rounds} rounds; eager adds {rounds - psums} psums)")
-    per_dir_s = 11.0            # measured s/direction, BASELINE.md r4
+    per_dir_s = 3.62            # measured s/direction, r5 windowed sweep
+                                # (694.9 s / 192 dirs, BASELINE.md r5)
     sweep_s = per_dir_s * 192
     for p in (2, 4, 8):
         rounds = sum(math.ceil(len(v) / p) for v in groups.values())

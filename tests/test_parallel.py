@@ -671,3 +671,103 @@ class TestDomainDecomposedRaysAMR:
         np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
                                    np.asarray(diag_ref.ndot_remaining),
                                    rtol=1e-12)
+
+
+@needs_devices
+class TestDomainDecomposedRaysML:
+    """Deep-grid (L-level) domain tracer (VERDICT r4 weak-7/item 10):
+    every level's fields stay sharded, rays migrate across shards and
+    levels; parity vs the single-device multilevel tracer."""
+
+    def _setup(self, n=16, L=3, mpl=4):
+        from radiativetransfer_tpu.constants import MYR
+        from radiativetransfer_tpu.core import amr, rays
+        from radiativetransfer_tpu.tables import stellar as stellar_tables
+        cfg = RunConfig(mode=8, current_redshift=6.55, n_angular_level=1,
+                        reionization_model=10, grid="domml")
+        geom = GridGeometry(n, n, n, 100.0 * KPC)
+        rt = step_mod.RTModel.setup(cfg, geom, dtype=jnp.float64)
+        rng = np.random.default_rng(7)
+        refined = []
+        m = n
+        for _ in range(L - 1):
+            r = np.zeros((m,) * 3, bool)
+            c = m // 2
+            r[c - 3:c + 3, c - 3:c + 3, c - 3:c + 3] = (
+                rng.random((6, 6, 6)) < 0.6)
+            refined.append(r)
+            m *= 2
+        refined = amr.enforce_balance(refined)
+        cov = np.ones((n,) * 3, bool)
+        for l in range(L - 1):
+            refined[l] &= cov
+            cov = np.repeat(np.repeat(np.repeat(refined[l], 2, 0), 2, 1),
+                            2, 2)
+        levels = [rt.initialize_equilibrium(
+            uniform_state(n * 2 ** l, nh=1e-4 * 1.3 ** l, tgas=2e4,
+                          dtype=jnp.float64)) for l in range(L)]
+        st = amr.sync_restriction_multi(
+            amr.make_multilevel_state(levels[0], refined, levels[1:]))
+        batch = rays.SourceBatch(position=rng.uniform(0.35, 0.65, (4, 3)),
+                                 weight=np.ones(4),
+                                 table_idx=np.zeros(4, np.int32))
+        ctx = step_mod.StellarContext.build(
+            stellar_tables.blackbody_population(), batch, geom, 10.0 * MYR,
+            metal_coefs=[(0, 0.0)], max_pixel_level=mpl)
+        return rt, geom, st, ctx
+
+    @pytest.mark.parametrize("shape", [None, (2, 4)])
+    def test_matches_single_device(self, shape):
+        from radiativetransfer_tpu.core import rays_multilevel
+        from radiativetransfer_tpu.parallel import rays_domain
+        rt, geom, st, ctx = self._setup()
+        L = st.n_levels
+        rfs_s, diag_s = rays_multilevel.trace_point_sources_ml(
+            st, geom, ctx.sources, ctx.tables, max_pixel_level=4,
+            dtype=jnp.float64, rates_mode="quadrature")
+        mesh = (pmesh.make_grid_mesh(8) if shape is None
+                else pmesh.make_grid_mesh(shape=shape))
+        st_sh = pmesh.shard_multilevel_state(st, mesh)
+        rfs_d, diag_d = rays_domain.trace_point_sources_domain_ml(
+            st_sh, geom, ctx.sources, ctx.tables, mesh,
+            max_pixel_level=4, dtype=jnp.float64)
+        n = geom.nx
+        for ell in range(L):
+            m = n * 2 ** ell
+            np.testing.assert_allclose(
+                np.asarray(rfs_d[ell].krate24),
+                np.asarray(rfs_s[ell].krate24).reshape(m, m, m),
+                rtol=1e-12, atol=1e-300, err_msg=f"level {ell}")
+            np.testing.assert_allclose(
+                np.asarray(rfs_d[ell].crate26),
+                np.asarray(rfs_s[ell].crate26).reshape(m, m, m),
+                rtol=1e-12, atol=1e-300, err_msg=f"level {ell}")
+        assert float(np.abs(np.asarray(rfs_s[L - 1].krate24)).max()) > 0.0
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_s.ndot_remaining),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_spectrum),
+                                   np.asarray(diag_s.ndot_spectrum),
+                                   rtol=1e-12)
+        assert len(rfs_d[0].krate24.sharding.device_set) == 8
+
+    def test_through_ml_production_step(self):
+        import dataclasses as dc
+
+        from radiativetransfer_tpu.core import step_amr
+        rt, geom, st, ctx = self._setup()
+        ml = step_amr.MultiLevelModel.setup(rt, st.n_levels)
+        out_ref, diag_ref = ml.make_step(ctx)(st)
+        mesh = pmesh.make_grid_mesh(8)
+        rt_d = dc.replace(
+            rt, config=dc.replace(rt.config, tracer_strategy="domain"))
+        ml_d = step_amr.MultiLevelModel.setup(rt_d, st.n_levels)
+        ml_d.n_coupling_iters = ml.n_coupling_iters
+        st_sh = pmesh.shard_multilevel_state(st, mesh)
+        out_d, diag_d = ml_d.make_step(ctx, mesh=mesh)(st_sh)
+        np.testing.assert_allclose(np.asarray(out_d.levels[0].HI),
+                                   np.asarray(out_ref.levels[0].HI),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(diag_d.ndot_remaining),
+                                   np.asarray(diag_ref.ndot_remaining),
+                                   rtol=1e-10)
