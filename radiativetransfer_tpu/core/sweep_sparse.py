@@ -267,12 +267,17 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
       (transportRoutinesModule.f90:455-558).  Merged outputs keep
       windowed values inside, P2 values outside.
 
-    window = (W static int, (wy0, wz0) traced int32 base-cell starts,
-    multiples of the block edge, clamped to [0, n - W]).
+    window = (W static int, (n, 2) int32 PER-SLAB base-cell starts,
+    multiples of the block edge, clamped to [0, n - W]).  Between slabs
+    the window may move (disjoint clumps each pay only their own
+    cross-section); the fine-level carry planes translate from the
+    previous slab's window position into the current one through a
+    zero-filled global frame — cells outside the previous window have
+    cover-below False by the coverage invariant (window_i covers
+    ref(slab i-1) too), so zero fill is exact.
     """
     W, w0 = window
-    w0 = jnp.asarray(w0, jnp.int32)
-    wy0, wz0 = w0[0], w0[1]
+    w0 = jnp.asarray(w0, jnp.int32)       # (n, 2) per-slab starts
     z0 = jnp.asarray(0, jnp.int32)        # dynamic_slice wants one dtype
     L = 1 + len(lv_rots)
     n = k0_rot.shape[0]
@@ -299,7 +304,8 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
     cov_x = any_ref | jnp.concatenate([any_ref[:1] & False, any_ref[:-1]])
 
     xs = {"i": jnp.arange(n), "k0": k0_rot[:, None],
-          "r0": refined0_rot[:, None], "has_fine": cov_x}
+          "r0": refined0_rot[:, None], "has_fine": cov_x,
+          "wy0": w0[:, 0], "wz0": w0[:, 1]}
     for l in range(L):
         m = 2 ** l
         for key, v in params[l].items():
@@ -309,7 +315,27 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
     ds = jax.lax.dynamic_slice
     dus = jax.lax.dynamic_update_slice
 
-    def win_slots(ell, i, s):
+    def translate_fine(planes_fine, prev, cur):
+        """Move window-frame fine carries from the previous slab's
+        window position to the current one (zero fill outside — exact by
+        the coverage invariant, see docstring).  Identity when the
+        window did not move."""
+        out = []
+        for off, (top, cb, rb) in enumerate(planes_fine):
+            m = 2 ** (off + 1)
+            nl = n * m
+            py, pz = prev[0] * m, prev[1] * m
+            cy, cz = cur[0] * m, cur[1] * m
+            gt = dus(jnp.zeros((D, 3, nl, nl), top.dtype), top,
+                     (z0, z0, py, pz))
+            gc = dus(jnp.zeros((nl, nl), bool), cb, (py, pz))
+            gr = dus(jnp.zeros((nl, nl), bool), rb, (py, pz))
+            out.append((ds(gt, (z0, z0, cy, cz), (D, 3, W * m, W * m)),
+                        ds(gc, (cy, cz), (W * m, W * m)),
+                        ds(gr, (cy, cz), (W * m, W * m))))
+        return tuple(out)
+
+    def win_slots(ell, i, s, wy0, wz0):
         """Window tile slice of level-ell slab slots: WT^2 tiles instead
         of T^2 (window starts are block-edge multiples, so tile indices
         divide exactly)."""
@@ -320,12 +346,12 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
                              bes[ell - 1], nbs[ell - 1])
         return ds(sp, (wty, wtz), (WT, WT)), ox
 
-    def gather_levels_win(i):
+    def gather_levels_win(i, wy0, wz0):
         out = []
         for ell in range(1, L):
             kap, cov, ref = [], [], []
             for s in range(2 ** ell):
-                sp, ox = win_slots(ell, i, s)
+                sp, ox = win_slots(ell, i, s, wy0, wz0)
                 kap.append(_gather_plane(lv_rots[ell - 1]["kappa"], sp,
                                          ox))
                 cov.append(_gather_plane(lv_rots[ell - 1]["cover"], sp,
@@ -337,8 +363,13 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
         return out
 
     def body(carry, x):
-        planes_carry, j_flats = carry
+        planes_carry, j_flats, cstart = carry
         i = x["i"]
+        wy0, wz0 = x["wy0"], x["wz0"]
+        cur = jnp.stack([wy0, wz0])
+        # re-register the fine carries onto this slab's window position
+        planes_carry = (planes_carry[:1]
+                        + translate_fine(planes_carry[1:], cstart, cur))
 
         def params_of(l):
             return {key[len(f"p{l}_"):]: x[key] for key in x
@@ -366,7 +397,7 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
             x0_w = dict({"kappa": k0_w,
                          "cover": jnp.ones((1, W, W), bool),
                          "refined": r0_w}, **p0)
-            fine = gather_levels_win(i)
+            fine = gather_levels_win(i, wy0, wz0)
             xl = [x0_w]
             for ell in range(1, L):
                 entry = dict(fine[ell - 1])
@@ -432,7 +463,7 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
                 jf = j_flats[ell - 1]
                 for s in range(2 ** ell):
                     js = j_of(est[ell][s], cov[ell][s], ref[ell][s])
-                    sp, ox = win_slots(ell, i, s)
+                    sp, ox = win_slots(ell, i, s, wy0, wz0)
                     jf = _scatter_plane_add(jf, sp, ox, js)
                 new_flats.append(jf)
 
@@ -457,7 +488,7 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
 
         carry_next, new_flats, j0 = jax.lax.cond(x["has_fine"], full,
                                                  skip, None)
-        return (carry_next, new_flats), j0
+        return (carry_next, new_flats, cur), j0
 
     carry0 = ((uvb_cell0, jnp.ones((ny, nz), bool),
                jnp.zeros((ny, nz), bool)),) + tuple(
@@ -467,7 +498,8 @@ def _sweep_zone_sparse_windowed(k0_rot, refined0_rot, lv_rots, params, uvb,
     j_flats0 = tuple(
         jnp.zeros((3, nbs[l], bes[l], bes[l], bes[l]), dtype)
         for l in range(L - 1))
-    (_, j_flats), j0 = jax.lax.scan(body, (carry0, j_flats0), xs)
+    (_, j_flats, _), j0 = jax.lax.scan(body, (carry0, j_flats0, w0[0]),
+                                       xs)
     return j0, list(j_flats)
 
 
@@ -564,48 +596,75 @@ def diffuse_sweep_sparse(k0, lv_kappas, state: SparseMLState,
 
 
 def compute_window(state: SparseMLState, margin: int = 2):
-    """Static refinement window for the windowed sparse sweep: the
-    smallest be-aligned W x W cross-section (per octant rotation)
-    containing every covered fine cell, or None when refinement spans
-    most of the grid (the unwindowed path is then cheaper).
+    """Static refinement window for the windowed sparse sweep, PER SLAB:
+    for every octant rotation and every rotated slab, the smallest
+    be-aligned W x W cross-section containing the refinement of that slab
+    AND its upwind neighbor (the carry feeds forward, so window_i must
+    cover ref(slab i-1) too), or None when refinement spans most of the
+    grid (the unwindowed path is then cheaper).
 
-    Returns (W, {izone: (wy0, wz0)}) — W static; starts per zone from the
-    rotated bounding box of refined0 (properly nested maps mean deeper
-    coverage stays inside it), tile-aligned so block tiles divide exactly
-    and with >= `margin` uncovered base cells around the coverage (the
-    window-edge rows the stack may compute garbage into are never
-    covered leaves)."""
+    Per-slab starts let spatially separated clumps each pay only their
+    OWN cross-section: W is the largest single-slab box, not the global
+    bounding box of all clumps (disjoint-in-x clumps make the per-slab
+    area several times smaller — the production geometry).
+
+    Returns (W, {izone: (n, 2) int32 starts}) — W static; starts
+    tile-aligned so block tiles divide exactly, with >= `margin`
+    uncovered base cells around the coverage, forward/backward-filled
+    through refinement-free slabs (their value is irrelevant — the skip
+    branch runs — but a stable value minimizes carry translation)."""
     r0 = np.asarray(jax.device_get(state.refined0)).astype(bool)
     if not r0.any() or state.n_levels < 2:
         return None
     be = state.be
     half = be // 2
     n = state.n
-    idx = np.argwhere(r0)
-    lo = idx.min(0) // half * half                    # tile-aligned:
-    hi = -(-(idx.max(0) + 1) // half) * half          # cover can't leak
-    ext = int((hi - lo).max())
+    from ..geometry.octants import rotate_to_sweep
+
+    def slab_boxes(rot):
+        """Per-slab tile-aligned (lo_y, hi_y, lo_z, hi_z) of
+        rot[i] | rot[i-1]; empty slabs -> (0, 0, 0, 0)."""
+        u = rot.copy()
+        u[1:] |= rot[:-1]
+        out = []
+        for axis in (1, 2):
+            anyx = u.any(axis=2 if axis == 1 else 1)        # (n, n)
+            has = anyx.any(axis=1)
+            lo = np.where(has, anyx.argmax(axis=1), 0)
+            hi = np.where(has, n - anyx[:, ::-1].argmax(axis=1), 0)
+            lo = lo // half * half
+            hi = -(-hi // half) * half
+            out += [lo, hi]
+        return out[0], out[1], out[2], out[3], u.any(axis=(1, 2))
+
+    zone_rots = {iz: rotate_to_sweep(r0, iz) for iz in range(1, 25)}
+    ext = 0
+    for rot in zone_rots.values():
+        lo_y, hi_y, lo_z, hi_z, has = slab_boxes(rot)
+        if has.any():
+            ext = max(ext, int((hi_y - lo_y)[has].max()),
+                      int((hi_z - lo_z)[has].max()))
     W = ext + 2 * margin + be
     W = min(n, -(-W // be) * be)
     if W >= n:
         return None
-    from ..geometry.octants import _ZONE_TABLE
+
     starts = {}
-    for iz in range(1, 25):
-        q, flips = _ZONE_TABLE[iz]
-        inv = {q[a]: a for a in range(3)}
-        st = []
-        for t in (1, 2):
-            a = inv[t]
-            if a in flips:
-                lo_t, hi_t = n - int(hi[a]), n - int(lo[a])
-            else:
-                lo_t, hi_t = int(lo[a]), int(hi[a])
-            s = (lo_t - margin) // be * be
-            s = max(0, min(s, n - W))
-            assert s <= lo_t and s + W >= hi_t
-            st.append(s)
-        starts[iz] = (st[0], st[1])
+    for iz, rot in zone_rots.items():
+        lo_y, hi_y, lo_z, hi_z, has = slab_boxes(rot)
+        st = np.zeros((n, 2), np.int32)
+        for col, (lo, hi) in enumerate(((lo_y, hi_y), (lo_z, hi_z))):
+            s = (lo - margin) // be * be
+            s = np.clip(s, 0, n - W)
+            assert bool(np.all((s[has] <= lo[has])
+                               & (s[has] + W >= hi[has])))
+            # forward/backward fill through refinement-free slabs
+            idxs = np.where(has, np.arange(n), -1)
+            idxs = np.maximum.accumulate(idxs)
+            first = int(np.argmax(has))
+            idxs = np.where(idxs < 0, first, idxs)
+            st[:, col] = s[idxs]
+        starts[iz] = st
     return W, starts
 
 

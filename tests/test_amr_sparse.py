@@ -867,24 +867,34 @@ class TestWindowedSweep:
         return amr.sync_restriction_multi(ml), refined
 
     def test_window_covers_refinement(self):
+        """Per-slab starts: every slab's window must contain the
+        refinement of that slab AND its upwind neighbor (the carry feeds
+        forward), in every octant rotation."""
+        from radiativetransfer_tpu.geometry.octants import rotate_to_sweep
         ml, refined = self._big_clustered()
         sp = amr_sparse.sparse_from_dense(ml, be=8)
         win = sweep_sparse.compute_window(sp)
         assert win is not None
         W, starts = win
-        assert W % 8 == 0 and W < 32
+        n = sp.n
+        assert W % 8 == 0 and W < n
         assert len(starts) == 24
-        idx = np.argwhere(np.asarray(sp.refined0))
-        from radiativetransfer_tpu.geometry.octants import _ZONE_TABLE
-        for iz, (wy0, wz0) in starts.items():
-            q, flips = _ZONE_TABLE[iz]
-            inv = {q[a]: a for a in range(3)}
-            for t, s in ((1, wy0), (2, wz0)):
-                a = inv[t]
-                lo, hi = idx[:, a].min(), idx[:, a].max() + 1
-                if a in flips:
-                    lo, hi = 32 - hi, 32 - lo
-                assert s <= lo and s + W >= hi, (iz, t, s, W, lo, hi)
+        r0 = np.asarray(sp.refined0, bool)
+        for iz, st in starts.items():
+            assert st.shape == (n, 2)
+            assert np.all(st % 8 == 0) and np.all(st >= 0) \
+                and np.all(st + W <= n)
+            rot = rotate_to_sweep(r0, iz)
+            u = rot.copy()
+            u[1:] |= rot[:-1]
+            for i in range(n):
+                if not u[i].any():
+                    continue
+                iy, iz2 = np.nonzero(u[i])
+                assert st[i, 0] <= iy.min() and st[i, 0] + W > iy.max(), \
+                    (iz, i)
+                assert st[i, 1] <= iz2.min() and st[i, 1] + W > iz2.max(), \
+                    (iz, i)
 
     def test_windowed_matches_full_plane(self):
         n, L = 32, 3
