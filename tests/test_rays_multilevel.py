@@ -138,3 +138,86 @@ class TestDegenerateLimits:
         np.testing.assert_allclose(np.asarray(diag_m.ndot_remaining),
                                    np.asarray(diag_u.ndot_remaining),
                                    rtol=2e-2)
+
+
+class TestCornerHitTermination:
+    """Regression for the round-5 zombie-ray limit cycle: an f32 ray
+    whose position sits EXACTLY on a cell corner (two coordinates on
+    faces, the state every crossing's snap produces) with negative
+    direction components must keep marching and terminate — the sub-ulp
+    legacy relocalization nudge froze such rays in a zero-step period-2
+    cycle (pos/cell desync), running production final phases to their
+    step caps."""
+
+    def test_face_exact_f32_ray_terminates(self):
+        import dataclasses as dc
+
+        from radiativetransfer_tpu.core import amr, rays, rays_multilevel
+        from radiativetransfer_tpu.core.rays import RateFields
+        from radiativetransfer_tpu.core.state import GridGeometry
+        n, L = 16, 2
+        nF = n * 2 ** (L - 1)
+        geom = GridGeometry(n, n, n, 100.0 * KPC)
+        refined = [np.zeros((n, n, n), bool)]
+        refined[0][6:10, 6:10, 6:10] = True
+        ml, _ = _toy_ml(n, refined)
+        dtype = jnp.float32
+        fields = {"leaf_level": rays_multilevel.leaf_level_volume(
+            [jnp.asarray(r) for r in refined], n, L)}
+        fields["lv_all"] = jnp.concatenate([
+            rays._pack_fields(
+                lv.HI.reshape(-1).astype(dtype),
+                lv.HeI.reshape(-1).astype(dtype),
+                lv.HeII.reshape(-1).astype(dtype),
+                lv.nh.reshape(-1).astype(dtype),
+                lv.abun2.reshape(-1).astype(dtype))
+            for lv in ml.levels], axis=0)
+
+        # rays parked exactly on cell corners, negative components on
+        # the two face-exact axes — the zombie configuration
+        R = 8
+        pos = np.full((R, 3), 0.37109, np.float32)
+        pos[:, 1] = 8.0 / nF * 2            # exactly on a face
+        pos[:, 2] = 14.0 / nF               # exactly on a face
+        d = np.tile(np.array([[0.65, -0.645, -0.4]], np.float32), (R, 1))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        cell = np.clip((pos * nF).astype(np.int32), 0, nF - 1)
+        z = jnp.zeros(R, dtype)
+        state = rays._RayState(
+            pos=jnp.asarray(pos), direction=jnp.asarray(d),
+            cell=jnp.asarray(cell), radius=z,
+            ndot=jnp.ones(R, dtype), depth=jnp.zeros((R, 4), dtype),
+            alive=jnp.ones(R, bool), split=jnp.zeros(R, bool),
+            table_idx=jnp.zeros(R, jnp.int32),
+            crossed=jnp.zeros(R, bool),
+            cross_depth=jnp.zeros((R, 4), dtype))
+        tables = _toy_quad_tables(dtype)
+        diag = rays.RayDiagnostics.zeros(1, dtype)
+        rfs = RateFields(*[jnp.zeros(fields["lv_all"].shape[0], dtype)
+                           for _ in range(6)])
+        out_state, _, _ = rays_multilevel._march_phase_ml(
+            state, fields, geom, L, ("quadrature", tables), diag, rfs,
+            1e9, True, 0, 6 * nF, jnp.zeros(R, jnp.int32),
+            rel_kill=1e-10)
+        # every ray must have left the box (or died) well before the cap
+        assert int(jnp.sum(out_state.alive)) == 0
+
+
+def _toy_ml(n, refined):
+    from radiativetransfer_tpu.core import amr
+    rng = np.random.default_rng(0)
+    nh = rng.lognormal(0, 0.3, (n, n, n)) * 1e-4
+    from radiativetransfer_tpu.core.state import make_state
+    from radiativetransfer_tpu.constants import MH, PSI
+    base = make_state(nh * MH / PSI, np.full((n, n, n), 1e4), nh,
+                      dtype=jnp.float64)
+    ml = amr.make_multilevel_state(base, refined)
+    return amr.sync_restriction_multi(ml), refined
+
+
+def _toy_quad_tables(dtype):
+    F = 16
+    rng = np.random.default_rng(1)
+    quad_A = jnp.asarray(rng.uniform(0.1, 1.0, (4, F)), dtype)
+    quad_W = jnp.asarray(rng.uniform(0, 1e-30, (6, F, 1)), dtype)
+    return (quad_A, quad_W)
