@@ -88,9 +88,9 @@ def sweep_zone_sparse(k0_rot, refined0_rot, lv_rots, params, uvb, cell_size,
       block data rotated within-block (octants.rotate_blocks_to_sweep) —
       and slot (T, T, T) rotated tile map;
     params[l]: (D, n*2^l) template-chain arrays.
-    window: None, or (W static int, (wy0, wz0) traced int32 scalars in
-    base cells, multiples of be) — run the coupled fine-level stack only
-    on the W x W cross-section window containing all refinement
+    window: None, or (W static int, (n, 2) int32 PER-SLAB base-cell
+    starts, multiples of be) — run the coupled fine-level stack only on
+    each slab's W x W refinement window
     (_sweep_zone_sparse_windowed; exact-parity clustered-refinement
     optimization, the deep sweep's dominant cost driver).
     Returns (j0_rot (n, 3, n, n), [(3, nb, be, be, be) J blocks per
